@@ -1,0 +1,186 @@
+"""BVH construction (host side, NumPy) -> threaded hit/miss-link arrays.
+
+The reference's canonical GPU layout is a flattened "threaded" BVH with
+hit/miss links enabling stackless traversal (`ThreadedBvhNode`,
+src/libaten/accelerator/threaded_bvh.h:13-56; SAH build bvh.cpp:213-371;
+spatial-split SBVH sbvh.cpp:278-324).  We build a binned-SAH binary BVH
+over the primitive (triangle + sphere) bounding boxes and emit the same
+kind of flat arrays: pre-order node list where
+
+    next = aabb_hit ? hit_link : miss_link
+
+with leaf nodes holding a [prim_start, prim_count) range into a
+reordered primitive-id list.  This is already the TPU-friendly encoding:
+traversal becomes a batched gather loop with no per-lane stack.
+
+Spatial splits (SBVH) and the two-level TLAS/BLAS with instance
+transforms follow the same node format (threaded_bvh.h exid field) and
+are layered on in `aten_tpu.accel.tlas`.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+LEAF_MAX = 4
+N_BINS = 16
+
+
+def _sah_split(bmin, bmax, cent, idx):
+    """Pick best binned-SAH split of prims `idx`. Returns (lidx, ridx) or None."""
+    c = cent[idx]
+    cmin = c.min(axis=0)
+    cmax = c.max(axis=0)
+    ext = cmax - cmin
+    axis = int(np.argmax(ext))
+    if ext[axis] <= 1e-12:
+        # Degenerate: median split by index order.
+        h = len(idx) // 2
+        return idx[:h], idx[h:]
+    # Bin centroids along the axis.
+    scale = N_BINS * (1.0 - 1e-6) / ext[axis]
+    bins = ((c[:, axis] - cmin[axis]) * scale).astype(np.int32)
+    bins = np.clip(bins, 0, N_BINS - 1)
+    # Per-bin counts and bounds.
+    counts = np.zeros(N_BINS, np.int64)
+    bb_min = np.full((N_BINS, 3), np.inf, np.float32)
+    bb_max = np.full((N_BINS, 3), -np.inf, np.float32)
+    np.add.at(counts, bins, 1)
+    for a in range(3):
+        np.minimum.at(bb_min[:, a], bins, bmin[idx, a])
+        np.maximum.at(bb_max[:, a], bins, bmax[idx, a])
+
+    def area(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return d[..., 0] * d[..., 1] + d[..., 1] * d[..., 2] + d[..., 2] * d[..., 0]
+
+    # Prefix/suffix sweeps.
+    lmin = np.minimum.accumulate(bb_min, axis=0)
+    lmax = np.maximum.accumulate(bb_max, axis=0)
+    rmin = np.minimum.accumulate(bb_min[::-1], axis=0)[::-1]
+    rmax = np.maximum.accumulate(bb_max[::-1], axis=0)[::-1]
+    lcnt = np.cumsum(counts)
+    rcnt = np.cumsum(counts[::-1])[::-1]
+    # Split after bin k: left bins [0..k], right bins [k+1..].
+    cost = np.full(N_BINS - 1, np.inf)
+    for k in range(N_BINS - 1):
+        if lcnt[k] == 0 or rcnt[k + 1] == 0:
+            continue
+        cost[k] = area(lmin[k], lmax[k]) * lcnt[k] + area(
+            rmin[k + 1], rmax[k + 1]
+        ) * rcnt[k + 1]
+    k = int(np.argmin(cost))
+    if not np.isfinite(cost[k]):
+        h = len(idx) // 2
+        return idx[:h], idx[h:]
+    lmask = bins <= k
+    return idx[lmask], idx[~lmask]
+
+
+def build_bvh(bmin: np.ndarray, bmax: np.ndarray, leaf_max: int = LEAF_MAX):
+    """Build threaded BVH arrays over P primitive boxes.
+
+    Returns dict of numpy arrays:
+      nodes_bmin/bmax [K,3] f32, nodes_hit/miss [K] i32,
+      nodes_prim_start [K] i32 (-1 internal), nodes_prim_count [K] i32,
+      prim_order [P] i32.
+    """
+    bmin = np.asarray(bmin, np.float32)
+    bmax = np.asarray(bmax, np.float32)
+    P = bmin.shape[0]
+    assert P > 0
+    cent = (bmin + bmax) * 0.5
+
+    # Recursive build into a pointer tree (children as list indices).
+    tree = []  # each: dict(bmin,bmax,left,right,prims)
+
+    def rec(idx):
+        nid = len(tree)
+        node = {
+            "bmin": bmin[idx].min(axis=0),
+            "bmax": bmax[idx].max(axis=0),
+            "left": -1,
+            "right": -1,
+            "prims": None,
+        }
+        tree.append(node)
+        if len(idx) <= leaf_max:
+            node["prims"] = idx
+            return nid
+        l, r = _sah_split(bmin, bmax, cent, idx)
+        if len(l) == 0 or len(r) == 0:
+            h = len(idx) // 2
+            l, r = idx[:h], idx[h:]
+        node["left"] = rec(l)
+        node["right"] = rec(r)
+        return nid
+
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 100000))
+    try:
+        rec(np.arange(P, dtype=np.int64))
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    # Pre-order flatten with hit/miss (skip) links.
+    K = len(tree)
+    order = np.empty(K, np.int64)  # preorder position -> tree id
+    flat_of = np.empty(K, np.int64)  # tree id -> preorder position
+    pos = 0
+    skip_of = np.full(K, -1, np.int64)  # preorder position -> skip link
+
+    stack = [(0, -1)]  # (tree id, skip preorder pos placeholder via tree id)
+    # We compute skip links in terms of preorder positions; do DFS carrying
+    # the "next after my subtree" tree id, resolve to positions afterwards.
+    skip_tree = np.full(K, -1, np.int64)
+    stack = [(0, -1)]
+    while stack:
+        tid, skip = stack.pop()
+        order[pos] = tid
+        flat_of[tid] = pos
+        skip_tree[pos] = skip
+        pos += 1
+        n = tree[tid]
+        if n["prims"] is None:
+            # preorder: left first -> push right (with same skip), then left
+            stack.append((n["right"], skip))
+            stack.append((n["left"], n["right"]))
+    assert pos == K
+
+    nodes_bmin = np.empty((K, 3), np.float32)
+    nodes_bmax = np.empty((K, 3), np.float32)
+    nodes_hit = np.empty(K, np.int32)
+    nodes_miss = np.empty(K, np.int32)
+    nodes_ps = np.full(K, -1, np.int32)
+    nodes_pc = np.zeros(K, np.int32)
+    prim_order = np.empty(P, np.int64)
+    pcur = 0
+    for i in range(K):
+        n = tree[order[i]]
+        nodes_bmin[i] = n["bmin"]
+        nodes_bmax[i] = n["bmax"]
+        skip = skip_tree[i]
+        skip_pos = -1 if skip < 0 else flat_of[skip]
+        if n["prims"] is None:
+            nodes_hit[i] = i + 1  # first child is next in preorder
+            nodes_miss[i] = skip_pos
+        else:
+            cnt = len(n["prims"])
+            prim_order[pcur : pcur + cnt] = n["prims"]
+            nodes_ps[i] = pcur
+            nodes_pc[i] = cnt
+            pcur += cnt
+            nodes_hit[i] = skip_pos
+            nodes_miss[i] = skip_pos
+    assert pcur == P
+
+    return {
+        "nodes_bmin": nodes_bmin,
+        "nodes_bmax": nodes_bmax,
+        "nodes_hit": nodes_hit,
+        "nodes_miss": nodes_miss,
+        "nodes_prim_start": nodes_ps,
+        "nodes_prim_count": nodes_pc,
+        "prim_order": prim_order.astype(np.int32),
+    }

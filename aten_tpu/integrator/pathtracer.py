@@ -1,0 +1,308 @@
+"""NEE path-tracing integrator (megakernel form, batched over pixels).
+
+Counterpart of the reference's shared path-tracing core
+(renderer/pathtracing/pathtracing_impl.h: GeneratePath:65, ShadeMiss:113,
+FillShadowRay:209, HitImplicitLight:395, ComputeRussianProbability:680,
+PrepareForNextBounce:700) and the host `PathTracing::radiance` loop
+(pathtracing.cpp:22-89).  The wavefront-vs-megakernel split of
+aten/idaten collapses here: one batched bounce loop where every lane is
+a pixel-sample path and terminated lanes are masked — XLA's analogue of
+the reference's stream compaction (masked lanes cost only VPU work,
+which measurement shows is cheaper than sort/compact on TPU for
+renderer-sized batches).
+
+Path state is SoA, mirroring `Path` {throughput, contrib, attrib,
+sampler} (renderer/pathtracing/pt_params.h:25-71).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aten_tpu.accel.traverse import occluded, traverse
+from aten_tpu.core import camera as cam_mod
+from aten_tpu.core import sampler as smp
+from aten_tpu.core import vecmath as vm
+from aten_tpu.scene.materials import MaterialType, gather_material
+from aten_tpu.shading import brdf as brdf_mod
+from aten_tpu.shading import nee
+
+
+# Debug/experiment switch: unroll the bounce loop instead of lax.scan.
+_UNROLL_BOUNCES = False
+
+
+def eval_hit(scene, ro, rd, hit):
+    """Resolve hit attributes (position, normals, uv, material, light id).
+
+    Counterpart of evaluate_hit_result (geometry/EvaluateHitResult.h:10-72).
+    The position/normals are recomputed differentiably from barycentrics.
+    """
+    prim = hit["prim"]
+    num_tris = scene["num_tris"]
+    T = scene["tri_v0"].shape[0]
+    S = scene["sph_center"].shape[0]
+    is_tri = prim < num_tris
+    tid = jnp.clip(prim, 0, T - 1)
+    sid = jnp.clip(prim - num_tris, 0, S - 1)
+    # Missed lanes carry t = INF; clamp so downstream (masked-out) shading
+    # math stays finite — inf/nan on dead lanes would otherwise leak into
+    # shared-parameter gradients through 0*inf in the backward pass.
+    t_safe = jnp.where(hit["hit"], hit["t"], 1.0)
+    p = ro + t_safe[..., None] * rd
+
+    u = hit["u"][..., None]
+    v = hit["v"][..., None]
+    w = 1.0 - u - v
+    n0 = jnp.take(scene["tri_n0"], tid, axis=0)
+    n1 = jnp.take(scene["tri_n1"], tid, axis=0)
+    n2 = jnp.take(scene["tri_n2"], tid, axis=0)
+    ns_tri = vm.normalize(w * n0 + u * n1 + v * n2)
+    e1 = jnp.take(scene["tri_e1"], tid, axis=0)
+    e2 = jnp.take(scene["tri_e2"], tid, axis=0)
+    ng_tri = vm.normalize(vm.cross(e1, e2))
+    uv0 = jnp.take(scene["tri_uv0"], tid, axis=0)
+    uv1 = jnp.take(scene["tri_uv1"], tid, axis=0)
+    uv2 = jnp.take(scene["tri_uv2"], tid, axis=0)
+    uv_tri = w[..., :1] * uv0 + u[..., :1] * uv1 + v[..., :1] * uv2
+    mtl_tri = jnp.take(scene["tri_mtl"], tid)
+    light_tri = jnp.take(scene["tri_light"], tid)
+
+    c = jnp.take(scene["sph_center"], sid, axis=0)
+    r = jnp.take(scene["sph_radius"], sid)[..., None]
+    ns_sph = (p - c) / jnp.maximum(r, 1e-12)
+    mtl_sph = jnp.take(scene["sph_mtl"], sid)
+    light_sph = jnp.take(scene["sph_light"], sid)
+
+    m3 = is_tri[..., None]
+    ns = jnp.where(m3, ns_tri, ns_sph)
+    ng = jnp.where(m3, ng_tri, ns_sph)
+    uv = jnp.where(is_tri[..., None], uv_tri, 0.5)
+    return {
+        "p": p,
+        "ns": ns,
+        "ng": ng,
+        "uv": uv,
+        "mtl": jnp.where(is_tri, mtl_tri, mtl_sph),
+        "light": jnp.where(is_tri, light_tri, light_sph),
+    }
+
+
+def _trace_paths(
+    scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
+    y0=0, tile_h=None,
+):
+    """One sample per pixel: full path-traced radiance [tile_h*width, 3].
+
+    y0/tile_h select a horizontal band of the image — the unit of
+    data-parallel sharding across chips (rays/tiles are the only
+    parallel axis a renderer needs; SURVEY.md §2.12).  Seeding uses
+    GLOBAL pixel ids so a sharded render is bitwise identical to the
+    single-chip one.
+    """
+    if tile_h is None:
+        tile_h = height
+    N = width * tile_h
+    lpix = jnp.arange(N, dtype=jnp.uint32)
+    px = (lpix % width).astype(jnp.float32)
+    py_local = (lpix // width).astype(jnp.float32)
+    py = py_local + jnp.asarray(y0, jnp.float32)
+    pix = (py.astype(jnp.uint32) * jnp.uint32(width)) + (lpix % width)
+    pixel_seed = smp.wang_hash(pix + jnp.uint32(1))
+
+    state = smp.make_state(pixel_seed, frame, sample, spp, bounce=0)
+    ju, jv, state = smp.next_2d(state)
+    s = (px + ju) / width
+    t = (jnp.float32(height - 1) - py + jv) / height
+    ro, rd = cam_mod.generate_ray(cam_arrays, s, t)
+
+    # vma-seeded carries (see traverse.py note): inherit sharding tag from rd.
+    vz = rd[..., 0] * 0.0
+    ro = ro + vz[..., None]  # camera origin broadcast is unvarying otherwise
+    radiance = jnp.zeros((N, 3), jnp.float32) + vz[..., None]
+    throughput = jnp.ones((N, 3), jnp.float32) + vz[..., None]
+    alive = vz == 0.0
+    pdf_prev = jnp.ones((N,), jnp.float32) + vz
+    prev_singular = vz == 0.0  # bounce 0: full weight on emitters
+
+    occluded_fn = lambda o, d, dist: occluded(scene, o, d, dist)
+
+    def bounce_body(carry, bounce):
+        ro, rd, throughput, radiance, alive, pdf_prev, prev_singular = carry
+        hit = traverse(scene, ro, rd)
+        h = eval_hit(scene, ro, rd, hit)
+        mat = gather_material(scene["materials"], h["mtl"])
+        # shade-time texture fetches (sampleTexture role)
+        from aten_tpu.scene import textures as tex_mod
+
+        mat = tex_mod.apply_albedo(scene, mat, h["uv"])
+        mat = tex_mod.apply_roughness_map(scene, mat, h["uv"])
+        h["ns"] = tex_mod.apply_normal_map(scene, mat, h["ns"], h["uv"])
+
+        # ---- miss: environment/background (ShadeMiss, incl. IBL MIS)
+        miss = alive & ~hit["hit"]
+        if scene.get("envmap") is not None:
+            from aten_tpu.scene.envmap import eval_env
+
+            le_bg = eval_env(scene, rd)
+            w_bg = nee.env_miss_weight(scene, rd, pdf_prev, prev_singular)
+        else:
+            le_bg = scene["bg"]
+            w_bg = jnp.ones((N,), jnp.float32)
+        radiance = radiance + jnp.where(
+            miss[..., None], throughput * le_bg * w_bg[..., None], 0.0
+        )
+
+        # ---- implicit emitter hit (HitImplicitLight)
+        is_emis = mat["type"] == MaterialType.EMISSIVE
+        cos_l = vm.dot(h["ng"], -rd, keepdims=False)
+        hit_emit = alive & hit["hit"] & is_emis
+        w_imp = nee.implicit_light_weight(
+            scene, h["light"], pdf_prev, prev_singular, hit["t"], cos_l
+        )
+        w_imp = jnp.where(h["light"] >= 0, w_imp, 1.0)
+        # only front side emits
+        front = cos_l > 0.0
+        radiance = radiance + jnp.where(
+            (hit_emit & front)[..., None],
+            throughput * mat["base_color"] * w_imp[..., None],
+            0.0,
+        )
+        alive = alive & hit["hit"] & ~is_emis
+
+        # ---- per-bounce sampler re-seed (reference bounce-dim offset)
+        state = smp.make_state(pixel_seed, frame, sample, spp, bounce=bounce + 1)
+
+        wo = -rd
+        # ---- NEE (skipped for singular BSDFs)
+        contrib, state = nee.nee_contribution(
+            scene, mat, h["p"], h["ns"], wo, state, occluded_fn
+        )
+        is_singular_mat = (mat["type"] == MaterialType.SPECULAR) | (
+            mat["type"] == MaterialType.REFRACTION
+        )
+        nee_ok = alive & ~is_singular_mat
+        radiance = radiance + jnp.where(nee_ok[..., None], throughput * contrib, 0.0)
+
+        # ---- russian roulette (ComputeRussianProbability); the survival
+        # probability is detached so RR stays an unbiased estimator under AD
+        u_rr, state = smp.next_1d(state)
+        rr_on = bounce >= rr_depth
+        rr_p = jnp.where(
+            rr_on, jnp.clip(jnp.max(throughput, axis=-1), 0.01, 0.95), 1.0
+        )
+        rr_p = jax.lax.stop_gradient(rr_p)
+        alive = alive & (u_rr < rr_p)
+        throughput = throughput / rr_p[..., None]
+
+        # ---- BSDF sample + next ray (PrepareForNextBounce)
+        u1, u2, state = smp.next_2d(state)
+        u3, state = smp.next_1d(state)
+        samp = brdf_mod.sample_brdf(mat, h["ns"], wo, u1, u2, u3)
+        n_or = brdf_mod.orient_normal(h["ns"], wo)
+        cos_wi = jnp.abs(vm.dot(n_or, samp["wi"], keepdims=False))
+        good = (samp["pdf"] > 1e-9) & (cos_wi > 1e-9)
+        # detached-pdf estimator: E[d f/p_detached] = d E[f/p] (unbiased)
+        pdf_det = jax.lax.stop_gradient(jnp.maximum(samp["pdf"], 1e-9))
+        weight = samp["bsdf"] * (cos_wi / pdf_det)[..., None]
+        throughput = jnp.where(
+            (alive & good)[..., None], throughput * weight, throughput
+        )
+        alive = alive & good
+
+        # Detached sampling (SURVEY.md §7 differentiability design): the
+        # sampled direction is treated as a constant under AD; parameter
+        # gradients flow through bsdf/pdf VALUES, not through the warp.
+        off_n = jnp.where(samp["transmission"][..., None], -n_or, n_or)
+        ro = jax.lax.stop_gradient(h["p"] + off_n * 1e-3)
+        rd = jax.lax.stop_gradient(samp["wi"])
+        pdf_prev = samp["pdf"]
+        prev_singular = samp["singular"]
+        return (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular), None
+
+    carry = (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular)
+    if _UNROLL_BOUNCES:
+        for b in range(max_depth):
+            carry, _ = bounce_body(carry, jnp.uint32(b))
+    else:
+        carry, _ = jax.lax.scan(
+            bounce_body, carry, jnp.arange(max_depth, dtype=jnp.uint32)
+        )
+    radiance = carry[3]
+
+    # invalid-radiance guard (Renderer::isInvalidColor, renderer/renderer.h:58)
+    bad = ~jnp.all(jnp.isfinite(radiance), axis=-1) | jnp.any(radiance < 0, axis=-1)
+    radiance = jnp.where(bad[..., None], 0.0, radiance)
+    return radiance
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "spp", "max_depth", "rr_depth")
+)
+def render_sample(
+    scene, cam_arrays, width, height, frame, sample, spp=1, max_depth=5, rr_depth=3
+):
+    rad = _trace_paths(
+        scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth
+    )
+    return rad.reshape(height, width, 3)
+
+
+def render_image(scene, cam, spp=16, max_depth=5, rr_depth=3, frame=0):
+    """Accumulate spp samples (host loop over a jitted per-sample render)."""
+    cam_arrays = cam.arrays()
+    acc = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+    for s in range(spp):
+        acc = acc + render_sample(
+            scene,
+            cam_arrays,
+            cam.width,
+            cam.height,
+            jnp.uint32(frame),
+            jnp.uint32(s),
+            spp,
+            max_depth,
+            rr_depth,
+        )
+    return acc / spp
+
+
+class PathTracer:
+    """Progressive renderer facade mirroring Renderer::render
+    (renderer/renderer.h:31) + FilmProgressive accumulation."""
+
+    def __init__(self, scene, cam, spp_per_frame=1, max_depth=5, rr_depth=3):
+        self.scene = scene
+        self.cam = cam
+        self.cam_arrays = cam.arrays()
+        self.spp_per_frame = spp_per_frame
+        self.max_depth = max_depth
+        self.rr_depth = rr_depth
+        self.frame = 0
+        from aten_tpu.integrator.film import Film
+
+        self.film = Film(cam.height, cam.width)
+
+    def render_frame(self):
+        for s in range(self.spp_per_frame):
+            img = render_sample(
+                self.scene,
+                self.cam_arrays,
+                self.cam.width,
+                self.cam.height,
+                jnp.uint32(self.frame),
+                jnp.uint32(s),
+                self.spp_per_frame,
+                self.max_depth,
+                self.rr_depth,
+            )
+            self.film.accumulate(img)
+        self.frame += 1
+        return self.film.image()
+
+    def reset(self):
+        self.film.clear()
+        self.frame = 0

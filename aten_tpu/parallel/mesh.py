@@ -1,0 +1,137 @@
+"""Multi-chip / multi-host data parallelism over image tiles.
+
+The reference is single-node single-GPU (SURVEY.md §2.12); this module
+is the NEW capability the TPU build adds: shard the pixel/ray axis over
+a `jax.sharding.Mesh` with `shard_map`, replicate the scene + BVH per
+device (mirroring idaten's one-shot UpdateSceneData upload), reduce
+films and parameter gradients with `psum/pmean` over ICI.  Seeding uses
+global pixel ids, so an N-chip render is bitwise identical to 1-chip.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax>=0.6 moved shard_map to the top level
+    from jax import shard_map as _shard_map
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map_legacy
+
+    def shard_map(f, mesh, in_specs, out_specs):
+        return _shard_map_legacy(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+
+from aten_tpu.integrator.pathtracer import _trace_paths
+
+TILE_AXIS = "tiles"
+
+
+def make_mesh(n_devices=None, axis=TILE_AXIS):
+    devs = jax.devices()
+    if n_devices is not None:
+        if len(devs) < n_devices:
+            raise ValueError(
+                f"requested {n_devices} devices but only {len(devs)} available"
+            )
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def render_tiled(
+    scene, cam_arrays, width, height, frame, sample, spp=1, max_depth=5,
+    rr_depth=3, mesh=None, axis=TILE_AXIS,
+):
+    """Render one sample with rows sharded across the mesh. Returns [H,W,3]
+    with row-sharded layout (device d owns rows [d*H/n, (d+1)*H/n))."""
+    if mesh is None:
+        mesh = make_mesh()
+    n = mesh.shape[axis]
+    assert height % n == 0, f"height {height} must divide mesh size {n}"
+    tile_h = height // n
+
+    def tile_fn(scene, cam_arrays, frame, sample):
+        d = jax.lax.axis_index(axis)
+        y0 = (d * tile_h).astype(jnp.int32)
+        rad = _trace_paths(
+            scene, cam_arrays, width, height, frame, sample, spp, max_depth,
+            rr_depth, y0=y0, tile_h=tile_h,
+        )
+        return rad.reshape(tile_h, width, 3)
+
+    f = shard_map(
+        tile_fn, mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P(axis)
+    )
+    return f(scene, cam_arrays, frame, sample)
+
+
+# Material-table fields exposed to gradient-based optimization by default.
+# (roughness/ior can be added; their detached-sampling gradients are weaker.)
+TRAINABLE_FIELDS = ("base_color",)
+
+
+def make_train_step(
+    width, height, spp=1, max_depth=3, rr_depth=2, mesh=None, axis=TILE_AXIS,
+    lr=0.05, fields=TRAINABLE_FIELDS,
+):
+    """Build a jitted SPMD training step: differentiable render of the
+    device's tile -> L2 loss vs target -> grads w.r.t. material-table
+    fields -> pmean over ICI -> SGD update.  This is the flagship
+    'training step' of the framework (inverse rendering), the analogue of
+    a model's fwd+bwd+allreduce+update.
+    """
+    if mesh is None:
+        mesh = make_mesh()
+    n = mesh.shape[axis]
+    assert height % n == 0
+    tile_h = height // n
+
+    def loss_fn(mat_params, scene, cam_arrays, target_tile, y0, frame):
+        mats = dict(scene["materials"])
+        mats.update(mat_params)
+        scene2 = scene.replace(materials=mats)
+        rad = _trace_paths(
+            scene2, cam_arrays, width, height, frame, jnp.uint32(0), spp,
+            max_depth, rr_depth, y0=y0, tile_h=tile_h,
+        )
+        img = rad.reshape(tile_h, width, 3)
+        return jnp.mean((img - target_tile) ** 2)
+
+    def tile_step(scene, cam_arrays, target_tile, frame):
+        d = jax.lax.axis_index(axis)
+        y0 = (d * tile_h).astype(jnp.int32)
+        mat_params = {k: scene["materials"][k] for k in fields}
+        loss, g = jax.value_and_grad(loss_fn)(
+            mat_params, scene, cam_arrays, target_tile, y0, frame
+        )
+        loss = jax.lax.pmean(loss, axis)
+        g = jax.tree.map(lambda x: jax.lax.pmean(x, axis), g)
+        return loss, g
+
+    smapped = shard_map(
+        tile_step, mesh=mesh, in_specs=(P(), P(), P(axis), P()), out_specs=(P(), P()),
+    )
+
+    @jax.jit
+    def step(scene, cam_arrays, target, frame):
+        loss, g = smapped(scene, cam_arrays, target, frame)
+        mats = dict(scene["materials"])
+        for k in fields:
+            # RMS-normalized update: parameter scales differ by orders of
+            # magnitude (wall albedo ~0.7 vs emitter radiance ~36), so raw
+            # SGD with one lr collapses the scene; normalized steps move
+            # every field at a bounded per-element rate.
+            gk = g[k]
+            rms = jnp.sqrt(jnp.mean(gk * gk) + 1e-12)
+            mats[k] = mats[k] - lr * gk / rms
+        if "base_color" in fields:
+            mats["base_color"] = jnp.clip(mats["base_color"], 0.0, None)
+        return loss, scene.replace(materials=mats)
+
+    return step

@@ -1,0 +1,97 @@
+"""Material parameter model.
+
+Counterpart of the reference's tagged-union POD `MaterialParameter`
+(src/libaten/material/material.h:242-325) and `MaterialType` enum
+(material.h:41-64).  Instead of an array-of-structs union, materials
+live as a struct-of-arrays table (one row per material id); per-lane
+gathers pull the row for each shading point and the BRDF dispatch is
+branchless select over type masks (the TPU-native replacement for the
+per-type switch in material/material_impl.h:24-206).
+"""
+from __future__ import annotations
+
+import enum
+
+import jax.numpy as jnp
+import numpy as np
+
+
+class MaterialType(enum.IntEnum):
+    EMISSIVE = 0
+    DIFFUSE = 1
+    OREN_NAYAR = 2
+    SPECULAR = 3
+    REFRACTION = 4
+    GGX = 5
+    BECKMANN = 6
+    MICROFACET_REFRACTION = 7
+    VELVET = 8
+    RETROREFLECTIVE = 9
+    CAR_PAINT = 10
+    DISNEY = 11
+    TOON = 12
+
+
+# Singular (delta) BSDFs: ideal mirror + ideal refraction.
+SINGULAR_TYPES = (MaterialType.SPECULAR, MaterialType.REFRACTION)
+# Types transporting light through the surface.
+TRANSMISSIVE_TYPES = (MaterialType.REFRACTION, MaterialType.MICROFACET_REFRACTION)
+
+_SCALAR_FIELDS = dict(
+    roughness=0.25,
+    ior=1.5,
+    shininess=1.0,
+    subsurface=0.0,
+    metallic=0.0,
+    specular=0.5,
+    specular_tint=0.0,
+    anisotropic=0.0,
+    sheen=0.0,
+    sheen_tint=0.5,
+    clearcoat=0.0,
+    clearcoat_gloss=1.0,
+)
+_MAP_FIELDS = ("albedo_map", "normal_map", "roughness_map")
+
+
+class MaterialTable:
+    """Host-side builder of the material SoA table."""
+
+    def __init__(self):
+        self.rows = []
+
+    def add(self, mtype: MaterialType, base_color=(1.0, 1.0, 1.0), **kw) -> int:
+        row = {"type": int(mtype), "base_color": tuple(float(c) for c in base_color)}
+        for k, v in _SCALAR_FIELDS.items():
+            row[k] = float(kw.pop(k, v))
+        for k in _MAP_FIELDS:
+            row[k] = int(kw.pop(k, -1))
+        if kw:
+            raise TypeError(f"unknown material fields: {sorted(kw)}")
+        self.rows.append(row)
+        return len(self.rows) - 1
+
+    def arrays(self):
+        n = max(len(self.rows), 1)
+        rows = self.rows or [
+            {"type": int(MaterialType.DIFFUSE), "base_color": (0.5, 0.5, 0.5),
+             **_SCALAR_FIELDS, **{k: -1 for k in _MAP_FIELDS}}
+        ]
+        out = {
+            "type": jnp.asarray([r["type"] for r in rows], jnp.int32),
+            "base_color": jnp.asarray(
+                np.array([r["base_color"] for r in rows], np.float32)
+            ),
+        }
+        for k in _SCALAR_FIELDS:
+            out[k] = jnp.asarray([r[k] for r in rows], jnp.float32)
+        for k in _MAP_FIELDS:
+            out[k] = jnp.asarray([r[k] for r in rows], jnp.int32)
+        assert out["type"].shape[0] == n
+        return out
+
+
+def gather_material(mtl_arrays, mtl_id):
+    """Pull per-lane material rows. mtl_id: int32 [N] (clamped for safety)."""
+    m = jnp.clip(mtl_id, 0, mtl_arrays["type"].shape[0] - 1)
+    return {k: jnp.take(v, m, axis=0) for k, v in mtl_arrays.items()}

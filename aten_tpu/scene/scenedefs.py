@@ -1,0 +1,119 @@
+"""Built-in test scenes.
+
+Counterpart of the reference's compile-time scene library
+src/common/scenedefs.{h,cpp} (23 scenes selected by `#define Scene`,
+scenedefs.h:261).  Here scenes are plain functions returning
+(SceneData, camera) — no compile-time linkage.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from aten_tpu.core.camera import PinholeCamera
+from aten_tpu.scene.materials import MaterialType
+from aten_tpu.scene.scene import SceneBuilder
+
+
+def cornell_box(width=512, height=512, use_spheres=True):
+    """The classic Cornell box (CornellBoxScene role, scenedefs.cpp).
+
+    Walls are quads; contents are two spheres (mirror + glass) like the
+    reference's sphere Cornell; ceiling quad area light.
+    """
+    b = SceneBuilder()
+    white = b.add_material(MaterialType.DIFFUSE, base_color=(0.73, 0.73, 0.73))
+    red = b.add_material(MaterialType.DIFFUSE, base_color=(0.65, 0.05, 0.05))
+    green = b.add_material(MaterialType.DIFFUSE, base_color=(0.12, 0.45, 0.15))
+    emit = b.add_material(MaterialType.EMISSIVE, base_color=(36.0, 33.0, 26.0))
+    mirror = b.add_material(MaterialType.SPECULAR, base_color=(0.99, 0.99, 0.99))
+    glass = b.add_material(MaterialType.REFRACTION, base_color=(0.99, 0.99, 0.99), ior=1.5)
+
+    s = 1.0  # half-size
+    # floor (y=-1), ceiling (y=1), back (z=-1), left (x=-1, red), right (x=1, green)
+    b.add_quad([-s, -s, s], [s, -s, s], [s, -s, -s], [-s, -s, -s], white)
+    b.add_quad([-s, s, -s], [s, s, -s], [s, s, s], [-s, s, s], white)
+    b.add_quad([-s, -s, -s], [s, -s, -s], [s, s, -s], [-s, s, -s], white)
+    b.add_quad([-s, -s, s], [-s, -s, -s], [-s, s, -s], [-s, s, s], red)
+    b.add_quad([s, -s, -s], [s, -s, s], [s, s, s], [s, s, -s], green)
+    # ceiling light (slightly below ceiling, facing down)
+    l = 0.35
+    ls, lc = b.add_quad(
+        [-l, s - 1e-3, l], [-l, s - 1e-3, -l], [l, s - 1e-3, -l], [l, s - 1e-3, l], emit
+    )
+    b.add_area_light_tris(ls, lc, le=(36.0, 33.0, 26.0))
+
+    if use_spheres:
+        b.add_sphere((-0.42, -0.65, -0.30), 0.35, mirror)
+        b.add_sphere((0.45, -0.65, 0.30), 0.35, glass)
+
+    cam = PinholeCamera(
+        origin=(0.0, 0.0, 3.45),
+        lookat=(0.0, 0.0, 0.0),
+        vfov_deg=45.0,
+        width=width,
+        height=height,
+    )
+    return b.build(), cam
+
+
+def material_test_scene(width=512, height=512, envmap=None):
+    """Material zoo on a plane (MtrlTestScene role): one sphere per model."""
+    b = SceneBuilder()
+    floor = b.add_material(MaterialType.DIFFUSE, base_color=(0.6, 0.6, 0.6))
+    mats = [
+        b.add_material(MaterialType.DIFFUSE, base_color=(0.7, 0.3, 0.3)),
+        b.add_material(MaterialType.OREN_NAYAR, base_color=(0.7, 0.6, 0.2), roughness=0.8),
+        b.add_material(MaterialType.SPECULAR, base_color=(0.95, 0.95, 0.95)),
+        b.add_material(MaterialType.REFRACTION, base_color=(0.98, 0.98, 0.98), ior=1.5),
+        b.add_material(MaterialType.GGX, base_color=(0.9, 0.7, 0.3), roughness=0.25, ior=2.0),
+        b.add_material(MaterialType.BECKMANN, base_color=(0.3, 0.6, 0.9), roughness=0.35, ior=2.0),
+        b.add_material(MaterialType.VELVET, base_color=(0.6, 0.2, 0.5), roughness=0.4),
+    ]
+    ext = 40.0
+    b.add_quad(
+        [-ext, 0, ext], [ext, 0, ext], [ext, 0, -ext], [-ext, 0, -ext], floor
+    )
+    n = len(mats)
+    for i, m in enumerate(mats):
+        x = (i - (n - 1) / 2.0) * 2.2
+        b.add_sphere((x, 1.0, 0.0), 1.0, m)
+    if envmap is not None:
+        b.set_envmap(envmap)
+    else:
+        emit = b.add_material(MaterialType.EMISSIVE, base_color=(18.0, 17.0, 15.0))
+        ls, lc = b.add_quad(
+            [-4, 8, 4], [-4, 8, -4], [4, 8, -4], [4, 8, 4], emit
+        )
+        b.add_area_light_tris(ls, lc, le=(18.0, 17.0, 15.0))
+        b.set_background((0.25, 0.3, 0.4))
+    cam = PinholeCamera(
+        origin=(0.0, 3.5, 14.0),
+        lookat=(0.0, 1.0, 0.0),
+        vfov_deg=40.0,
+        width=width,
+        height=height,
+    )
+    return b.build(), cam
+
+
+def many_light_scene(width=512, height=512, num_lights=126, seed=0):
+    """ManyLightScene role (126 point lights, scenedefs.cpp) — the ReSTIR
+    stress fixture."""
+    rng = np.random.default_rng(seed)
+    b = SceneBuilder()
+    floor = b.add_material(MaterialType.DIFFUSE, base_color=(0.55, 0.55, 0.55))
+    ball = b.add_material(MaterialType.GGX, base_color=(0.8, 0.8, 0.85), roughness=0.3, ior=2.0)
+    ext = 20.0
+    b.add_quad([-ext, 0, ext], [ext, 0, ext], [ext, 0, -ext], [-ext, 0, -ext], floor)
+    for i in range(5):
+        for j in range(5):
+            b.add_sphere(((i - 2) * 3.0, 1.0, (j - 2) * 3.0), 1.0, ball)
+    for _ in range(num_lights):
+        p = rng.uniform([-12, 0.5, -12], [12, 6.0, 12])
+        c = rng.uniform(0.2, 1.0, 3) * 4.0
+        b.add_point_light(tuple(p), tuple(c))
+    cam = PinholeCamera(
+        origin=(0.0, 8.0, 22.0), lookat=(0.0, 1.0, 0.0), vfov_deg=45.0,
+        width=width, height=height,
+    )
+    return b.build(), cam

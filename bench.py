@@ -1,0 +1,65 @@
+"""Headline benchmark: Mrays/s on the Cornell-box NEE path tracer.
+
+Mirrors the reference's live meter `Mrays/sec = W*H*samples/elapsed`
+(/root/reference/src/device_renderer/main.cpp:250).  The reference
+publishes no numbers (BASELINE.md), so vs_baseline is reported against
+this repo's own recorded first-light figure (BENCH_r*.json history).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from aten_tpu.integrator.pathtracer import render_sample
+    from aten_tpu.scene.scenedefs import cornell_box
+
+    width = height = 512
+    spp_chunk = 4
+    max_depth = 5
+    scene, cam = cornell_box(width, height)
+    cam_arrays = cam.arrays()
+
+    def run(frame, sample):
+        return render_sample(
+            scene, cam_arrays, width, height, frame, sample,
+            spp_chunk, max_depth, 3,
+        )
+
+    # warmup / compile
+    run(jnp.uint32(0), jnp.uint32(0)).block_until_ready()
+
+    iters = 8
+    t0 = time.perf_counter()
+    acc = None
+    for i in range(iters):
+        img = run(jnp.uint32(1), jnp.uint32(i))
+        acc = img if acc is None else acc + img
+    acc.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    primary_rays = width * height * spp_chunk * iters
+    mrays = primary_rays / dt / 1e6
+    # Self-baseline: round-1 first-light figure on TPU v5e (see BASELINE.md:
+    # reference publishes no numbers, so parity ratio is vs our own history).
+    baseline_mrays = 0.3973
+    print(
+        json.dumps(
+            {
+                "metric": "cornell_512_primary_mrays_per_s",
+                "value": round(mrays, 4),
+                "unit": "Mrays/s",
+                "vs_baseline": round(mrays / baseline_mrays, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
