@@ -26,7 +26,96 @@ def _safe_inv(rd):
     return jnp.where(jnp.abs(rd) > 1e-12, 1.0 / rd, jnp.sign(rd) * 1e12 + 1e12)
 
 
-def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
+# Below this primitive count, skip the BVH entirely: testing every
+# primitive against every ray is pure fused VPU work (no gathers, no
+# data-dependent loop) and beats any traversal by an order of magnitude
+# on TPU.  The reference has no analogue — a CUDA thread walks the tree
+# even for tiny scenes — this is a TPU-first design decision.
+DENSE_MAX_PRIMS = 512
+_DENSE_CHUNK = 8
+
+
+def _traverse_dense(scene, ro, rd, t0, any_hit, t_min):
+    T = scene["tri_v0"].shape[0]
+    S = scene["sph_center"].shape[0]
+    num_tris = scene["num_tris"]
+    num_sph = scene["num_spheres"]
+    P = num_tris + num_sph
+
+    # Stack per-prim data in global-prim-id order, padded to chunk size.
+    Pp = -(-P // _DENSE_CHUNK) * _DENSE_CHUNK
+
+    def pad(x, n):
+        return jnp.concatenate(
+            [x, jnp.zeros((n - x.shape[0],) + x.shape[1:], x.dtype)], axis=0
+        ) if x.shape[0] < n else x[:n]
+
+    v0 = pad(scene["tri_v0"][:num_tris] if num_tris else scene["tri_v0"][:0], Pp)
+    e1 = pad(scene["tri_e1"][:num_tris] if num_tris else scene["tri_e1"][:0], Pp)
+    e2 = pad(scene["tri_e2"][:num_tris] if num_tris else scene["tri_e2"][:0], Pp)
+    # spheres occupy rows [num_tris, P)
+    cen = jnp.zeros((Pp, 3), jnp.float32)
+    rad = jnp.zeros((Pp,), jnp.float32)
+    if num_sph:
+        cen = cen.at[num_tris:P].set(scene["sph_center"][:num_sph])
+        rad = rad.at[num_tris:P].set(scene["sph_radius"][:num_sph])
+    valid = (jnp.arange(Pp) < P)
+    is_tri = (jnp.arange(Pp) < num_tris)
+
+    n_chunks = Pp // _DENSE_CHUNK
+    vz = ro[..., 0] * 0.0  # vma seed (see note above)
+
+    def chunk_body(carry, ci):
+        t, prim, u, v = carry
+        s = ci * _DENSE_CHUNK
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, s, _DENSE_CHUNK, 0)
+        cv0, ce1, ce2 = sl(v0), sl(e1), sl(e2)
+        ccen, crad = sl(cen), sl(rad)
+        cvalid, cistri = sl(valid), sl(is_tri)
+        t_t, tu, tv, h_t = vm.intersect_tri(
+            ro[:, None, :], rd[:, None, :], cv0[None], ce1[None], ce2[None],
+            t_min=t_min,
+        )  # [N, C]
+        t_s, h_s = vm.intersect_sphere(
+            ro[:, None, :], rd[:, None, :], ccen[None], crad[None], t_min=t_min
+        )
+        tp = jnp.where(cistri[None], t_t, t_s)
+        hp = jnp.where(cistri[None], h_t, h_s) & cvalid[None]
+        tp = jnp.where(hp, tp, vm.INF)
+        # best within chunk
+        k = jnp.argmin(tp, axis=1)
+        tk = jnp.take_along_axis(tp, k[:, None], axis=1)[:, 0]
+        uk = jnp.take_along_axis(tu, k[:, None], axis=1)[:, 0]
+        vk = jnp.take_along_axis(tv, k[:, None], axis=1)[:, 0]
+        trik = jnp.take_along_axis(jnp.broadcast_to(cistri[None], tp.shape), k[:, None], axis=1)[:, 0]
+        closer = tk < t
+        t = jnp.where(closer, tk, t)
+        prim = jnp.where(closer, (s + k).astype(jnp.int32), prim)
+        u = jnp.where(closer, jnp.where(trik, uk, 0.0), u)
+        v = jnp.where(closer, jnp.where(trik, vk, 0.0), v)
+        return (t, prim, u, v), None
+
+    init = (
+        t0 + vz,
+        vz.astype(jnp.int32) - 1,
+        vz,
+        vz,
+    )
+    if n_chunks <= 8:
+        carry = init
+        for ci in range(n_chunks):
+            carry, _ = chunk_body(carry, ci)
+    else:
+        carry, _ = jax.lax.scan(
+            chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+        )
+    t, prim, u, v = carry
+    hit = t < t0
+    prim = jnp.where(hit, prim, -1)
+    return {"t": t, "prim": prim, "u": u, "v": v, "hit": hit}
+
+
+def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
     """Find the closest (or any) primitive hit for a batch of rays.
 
     scene: SceneData dict (see aten_tpu.scene.scene).
@@ -34,10 +123,32 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     Returns dict {t, prim, u, v, hit} with [N] leaves.  `prim` is the
     global primitive id (tri ids first, then sphere ids offset by T).
 
+    impl: "auto" uses the Pallas tile-coherent kernel on TPU when the
+    scene carries the VMEM layout; "jax" forces the batched-gather
+    reference path (the oracle); "pallas" forces the kernel.
+
     Traversal is discrete structure -> gradients are stopped, matching
     the detached-sampling differentiability design (hit *attributes* are
     re-derived differentiably by the shader, not here).
     """
+    num_prims = scene["num_tris"] + scene["num_spheres"]
+    if impl == "dense" or (impl == "auto" and num_prims <= DENSE_MAX_PRIMS):
+        ro = jax.lax.stop_gradient(ro)
+        rd = jax.lax.stop_gradient(rd)
+        if t_max is None:
+            t0 = jnp.full((ro.shape[0],), vm.INF, jnp.float32)
+        else:
+            t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ro.shape[0],))
+        return _traverse_dense(scene, ro, rd, t0, any_hit, t_min)
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and "pl_nodes" in scene
+        and jax.default_backend() == "tpu"
+    )
+    if use_pallas:
+        from aten_tpu.ops.traverse_pallas import traverse_pallas
+
+        return traverse_pallas(scene, ro, rd, t_max=t_max, any_hit=any_hit, t_min=t_min)
     ro = jax.lax.stop_gradient(ro)
     rd = jax.lax.stop_gradient(rd)
     N = ro.shape[0]
@@ -114,11 +225,11 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     return {"t": t, "prim": prim, "u": u, "v": v, "hit": prim >= 0}
 
 
-def occluded(scene, ro, rd, dist, eps=1e-3):
+def occluded(scene, ro, rd, dist, eps=1e-3, impl="auto"):
     """Shadow-ray visibility: True where something blocks [eps, dist-eps].
 
     Counterpart of HitTestToTargetLight (pathtracing_impl.h:266-351)
     without the alpha punch-through loop (layered on by the integrator).
     """
-    res = traverse(scene, ro, rd, t_max=dist - eps, any_hit=True, t_min=eps)
+    res = traverse(scene, ro, rd, t_max=dist - eps, any_hit=True, t_min=eps, impl=impl)
     return res["hit"]

@@ -282,6 +282,19 @@ class SceneBuilder:
         }
         for k, v in bvh.items():
             arrays[k] = jnp.asarray(v)
+        # Pallas tile-traversal layout (VMEM structure-of-rows); only for
+        # scenes whose node+prim pools fit comfortably in VMEM (~<6 MB).
+        K = bvh["nodes_bmin"].shape[0]
+        P = bvh["prim_order"].shape[0]
+        pool_bytes = K * 40 + P * 60
+        if pool_bytes < 6 * 1024 * 1024:
+            from aten_tpu.ops.traverse_pallas import build_pallas_layout
+
+            layout = build_pallas_layout(
+                bvh, tv0, te1, te2, sc, sr, num_tris
+            )
+            for k, v in layout.items():
+                arrays[k] = jnp.asarray(v)
         if self._envmap is not None:
             arrays.update(build_env_tables(self._envmap))
         if self.textures.images:

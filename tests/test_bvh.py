@@ -30,8 +30,9 @@ def _random_tri_scene(num_tris=200, seed=0):
     return b.build()
 
 
-_traverse_jit = jax.jit(lambda scene, ro, rd: traverse(scene, ro, rd))
-_occluded_jit = jax.jit(lambda scene, ro, rd, dist: occluded(scene, ro, rd, dist))
+_traverse_jit = jax.jit(lambda scene, ro, rd: traverse(scene, ro, rd, impl='jax'))
+_occluded_jit = jax.jit(lambda scene, ro, rd, dist: occluded(scene, ro, rd, dist, impl='jax'))
+_traverse_dense_jit = jax.jit(lambda scene, ro, rd: traverse(scene, ro, rd, impl='dense'))
 
 
 @jax.jit
@@ -100,6 +101,23 @@ def test_any_hit_occlusion():
     # occluded iff the closest hit is within range
     expect = np.asarray(closest["hit"]) & (np.asarray(closest["t"]) < 10.0 - 1e-3)
     np.testing.assert_array_equal(np.asarray(occ), expect)
+
+
+def test_dense_matches_bvh():
+    scene = _random_tri_scene()
+    rng = np.random.default_rng(5)
+    N = 256
+    ro = jnp.asarray(rng.uniform(-2, 2, (N, 3)).astype(np.float32))
+    rd = jnp.asarray(rng.normal(size=(N, 3)).astype(np.float32))
+    rd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    a = _traverse_jit(scene, ro, rd)
+    b = _traverse_dense_jit(scene, ro, rd)
+    np.testing.assert_array_equal(np.asarray(a["hit"]), np.asarray(b["hit"]))
+    m = np.asarray(a["hit"])
+    np.testing.assert_allclose(
+        np.asarray(a["t"])[m], np.asarray(b["t"])[m], rtol=1e-5, atol=1e-5
+    )
+    assert (np.asarray(a["prim"])[m] == np.asarray(b["prim"])[m]).mean() > 0.99
 
 
 def test_traverse_jit_compiles():
