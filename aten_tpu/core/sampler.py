@@ -81,10 +81,22 @@ def _randfloat(i, p):
     return i.astype(jnp.float32) * jnp.float32(1.0 / 4294967808.0)
 
 
+def _permute_256(s, p):
+    """Bijection of [0,256) from two 16-wide permutations (lo nibble, then
+    hi nibble keyed on the permuted lo)."""
+    lo = _permute_pow2(s & _u32(15), CMJ_DIM, p * _u32(0x51633E2D))
+    hi = _permute_pow2(s >> 4, CMJ_DIM, (p ^ (lo * _u32(0x68BC21EB))) * _u32(0x02E5BE93))
+    return hi * _u32(CMJ_DIM) + lo
+
+
 def cmj_2d(s, p):
     """The s-th sample of 16x16 CMJ pattern p. Returns (x, y) in [0,1)."""
     s = _u32(s) & _u32(CMJ_N - 1)
     p = _u32(p)
+    # Kensler's initial index shuffle: without it, consecutive sample
+    # indices enumerate strata in raster order, so a LOW-spp prefix of the
+    # pattern is confined to a few y-strata and frames correlate badly.
+    s = _permute_256(s, p * _u32(0xA399D265))
     m = CMJ_DIM
     sx = _permute_pow2(s & _u32(m - 1), m, p * _u32(0xA511E9B3))
     sy = _permute_pow2(s >> 4, m, p * _u32(0x63D83595))
@@ -104,9 +116,7 @@ def cmj_1d(s, p):
     without the cycle-walk; wider widths are not)."""
     s = _u32(s) & _u32(CMJ_N - 1)
     p = _u32(p)
-    lo = _permute_pow2(s & _u32(15), CMJ_DIM, p * _u32(0x68BC21EB))
-    hi = _permute_pow2(s >> 4, CMJ_DIM, (p ^ (lo * _u32(0x85157AF5))) * _u32(0x02E5BE93))
-    sx = hi * _u32(CMJ_DIM) + lo
+    sx = _permute_256(s, p * _u32(0x85157AF5))
     j = _randfloat(s, p * _u32(0x967A889B))
     return (sx.astype(jnp.float32) + j) * jnp.float32(1.0 / CMJ_N)
 

@@ -1,0 +1,129 @@
+"""NPR: toon shading + feature lines.
+
+Counterpart of the reference NPR stack: the toon/stylized BRDF with
+remap bands, highlight and rim controls (src/libaten/material/toon.cpp,
+StylizedBrdf toon.h:20, ToonParameter material/material.h:124-161) and
+physically-based feature lines (renderer/npr/feature_line.h:36-160,
+npr_impl.h, NprPathTracer npr/npr_pathtracer.h:8).
+
+Feature lines here are computed from the first-hit G-buffer (prim id /
+normal / depth / albedo discontinuities over the pixel neighborhood)
+instead of the reference's sample-ray discs around each query ray —
+the screen-space formulation gives the same line classes (mesh
+silhouettes, crease, albedo boundaries) in one batched pass; the
+sample-ray variant can be layered on for sub-pixel lines.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from aten_tpu.accel.traverse import occluded
+from aten_tpu.core import vecmath as vm
+from aten_tpu.denoise.svgf import _shift
+from aten_tpu.integrator.pathtracer import render_sample_with_aovs
+from aten_tpu.scene.lights import sample_light
+from aten_tpu.scene.materials import gather_material
+from aten_tpu.shading import brdf as brdf_mod
+
+
+@dataclasses.dataclass(frozen=True)
+class ToonParams:
+    bands: int = 3            # quantization steps of the diffuse ramp
+    shadow_floor: float = 0.25  # stylized shadow brightness
+    highlight_power: float = 32.0
+    highlight_gain: float = 0.9
+    highlight_translation: float = 0.0  # ToonParameter highlight controls
+    rim_power: float = 4.0
+    rim_gain: float = 0.25
+    line_width: int = 1
+    depth_threshold: float = 0.03
+    normal_threshold: float = 0.65
+
+
+def toon_shade(scene, aovs, cam_origin, params: ToonParams):
+    """Quantized-ramp direct lighting + highlight + rim from the G-buffer.
+    Uses light 0 as the key light (the reference toon also binds one
+    target light, toon.h)."""
+    H, W = aovs["depth"].shape
+    p = aovs["pos"].reshape(-1, 3)
+    n = aovs["normal"].reshape(-1, 3)
+    alb = aovs["albedo"].reshape(-1, 3)
+    hitm = (aovs["depth"] > 0).reshape(-1)
+    N = p.shape[0]
+
+    lidx = jnp.zeros((N,), jnp.int32)
+    u0 = jnp.full((N,), 0.5, jnp.float32)
+    ls = sample_light(scene, lidx, p, u0, (u0, u0))
+    wi = ls["dir"]
+    blocked = occluded(scene, p + n * 1e-3, wi, ls["dist"])
+
+    ndl = jnp.clip(vm.dot(n, wi, keepdims=False), 0.0, 1.0)
+    ndl = jnp.where(blocked, 0.0, ndl)
+    # ramp quantization with stylized shadow floor
+    band = jnp.ceil(ndl * params.bands) / params.bands
+    ramp = params.shadow_floor + (1.0 - params.shadow_floor) * band
+
+    wo = vm.normalize(cam_origin[None, :] - p)
+    h = vm.normalize(wi + wo)
+    spec = jnp.clip(
+        vm.dot(n, h, keepdims=False) + params.highlight_translation, 0.0, 1.0
+    ) ** params.highlight_power
+    spec = jnp.where(spec > 0.5, params.highlight_gain, 0.0)
+    spec = jnp.where(blocked, 0.0, spec)
+
+    rim = (1.0 - jnp.clip(vm.dot(n, wo, keepdims=False), 0.0, 1.0)) ** params.rim_power
+    shade = alb * ramp[..., None] + (spec + params.rim_gain * rim)[..., None]
+    shade = jnp.where(hitm[..., None], shade, jnp.asarray(scene["bg"]))
+    return shade.reshape(H, W, 3)
+
+
+def feature_lines(aovs, params: ToonParams):
+    """Screen-space feature-line mask [H,W] in [0,1] (1 = line).
+    Line classes mirror feature_line.h metrics: mesh-id, normal (crease),
+    depth (silhouette), albedo boundaries."""
+    depth = aovs["depth"]
+    normal = aovs["normal"]
+    prim = aovs["mtl"]
+    alb = aovs["albedo"]
+    pos = aovs["pos"]
+    line = jnp.zeros_like(depth, dtype=bool)
+    r = params.line_width
+    for dy, dx in ((0, r), (r, 0), (0, -r), (-r, 0)):
+        p_q = _shift(pos, dy, dx)
+        n_q = _shift(normal, dy, dx)
+        m_q = _shift(prim, dy, dx)
+        a_q = _shift(alb, dy, dx)
+        # silhouette test: neighbor's world pos off the local tangent plane
+        # (view-angle invariant, unlike raw depth deltas; plays the role of
+        # feature_line.h's depth metric on sample-ray discs)
+        plane_d = jnp.abs(jnp.sum((p_q - pos) * normal, axis=-1))
+        depth_edge = plane_d > params.depth_threshold * jnp.maximum(depth, 1e-3)
+        normal_edge = jnp.sum(n_q * normal, axis=-1) < params.normal_threshold
+        id_edge = m_q != prim
+        albedo_edge = jnp.abs(a_q - alb).sum(-1) > 0.4
+        line = line | depth_edge | normal_edge | id_edge | albedo_edge
+    return line.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "params"))
+def _npr_frame(scene, cam_arrays, width, height, frame, cam_origin, params):
+    _, aovs = render_sample_with_aovs(
+        scene, cam_arrays, width, height, frame, jnp.uint32(0), 1, 2, 1
+    )
+    shade = toon_shade(scene, aovs, cam_origin, params)
+    lines = feature_lines(aovs, params)
+    return shade * (1.0 - lines[..., None]), aovs
+
+
+def render_npr(scene, cam, params: ToonParams = None, frame=0):
+    """NprPathTracer role: toon shade + feature-line composite."""
+    params = params or ToonParams()
+    img, _ = _npr_frame(
+        scene, cam.arrays(), cam.width, cam.height, jnp.uint32(frame),
+        jnp.asarray(cam.origin, jnp.float32), params,
+    )
+    return img

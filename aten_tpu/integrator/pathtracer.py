@@ -93,7 +93,7 @@ def eval_hit(scene, ro, rd, hit):
 
 def _trace_paths(
     scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
-    y0=0, tile_h=None,
+    y0=0, tile_h=None, want_aovs=False,
 ):
     """One sample per pixel: full path-traced radiance [tile_h*width, 3].
 
@@ -102,6 +102,10 @@ def _trace_paths(
     parallel axis a renderer needs; SURVEY.md §2.12).  Seeding uses
     GLOBAL pixel ids so a sharded render is bitwise identical to the
     single-chip one.
+
+    want_aovs: also return first-hit G-buffer aovs {normal, depth, albedo,
+    prim, pos, mtl} (FillAOVs role, renderer/svgf/svgf_impl.h:63) feeding
+    the SVGF denoiser and debug views.
     """
     if tile_h is None:
         tile_h = height
@@ -130,8 +134,17 @@ def _trace_paths(
 
     occluded_fn = lambda o, d, dist: occluded(scene, o, d, dist)
 
+    aovs = {
+        "normal": jnp.zeros((N, 3), jnp.float32) + vz[..., None],
+        "depth": jnp.full((N,), -1.0, jnp.float32) + vz,
+        "albedo": jnp.zeros((N, 3), jnp.float32) + vz[..., None],
+        "pos": jnp.zeros((N, 3), jnp.float32) + vz[..., None],
+        "prim": jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
+        "mtl": jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
+    }
+
     def bounce_body(carry, bounce):
-        ro, rd, throughput, radiance, alive, pdf_prev, prev_singular = carry
+        ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, aovs = carry
         hit = traverse(scene, ro, rd)
         h = eval_hit(scene, ro, rd, hit)
         mat = gather_material(scene["materials"], h["mtl"])
@@ -141,6 +154,20 @@ def _trace_paths(
         mat = tex_mod.apply_albedo(scene, mat, h["uv"])
         mat = tex_mod.apply_roughness_map(scene, mat, h["uv"])
         h["ns"] = tex_mod.apply_normal_map(scene, mat, h["ns"], h["uv"])
+
+        if want_aovs:
+            # First-hit G-buffer (FillAOVs, svgf_impl.h:63): normal/depth/
+            # albedo/ids/world pos captured at bounce 0 on hit lanes.
+            first = (bounce == 0) & hit["hit"]
+            f3 = first[..., None]
+            aovs = {
+                "normal": jnp.where(f3, h["ns"], aovs["normal"]),
+                "depth": jnp.where(first, hit["t"], aovs["depth"]),
+                "albedo": jnp.where(f3, mat["base_color"], aovs["albedo"]),
+                "pos": jnp.where(f3, h["p"], aovs["pos"]),
+                "prim": jnp.where(first, hit["prim"], aovs["prim"]),
+                "mtl": jnp.where(first, h["mtl"], aovs["mtl"]),
+            }
 
         # ---- miss: environment/background (ShadeMiss, incl. IBL MIS)
         miss = alive & ~hit["hit"]
@@ -221,9 +248,9 @@ def _trace_paths(
         rd = jax.lax.stop_gradient(samp["wi"])
         pdf_prev = samp["pdf"]
         prev_singular = samp["singular"]
-        return (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular), None
+        return (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, aovs), None
 
-    carry = (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular)
+    carry = (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, aovs)
     if _UNROLL_BOUNCES:
         for b in range(max_depth):
             carry, _ = bounce_body(carry, jnp.uint32(b))
@@ -232,10 +259,13 @@ def _trace_paths(
             bounce_body, carry, jnp.arange(max_depth, dtype=jnp.uint32)
         )
     radiance = carry[3]
+    aovs = carry[7]
 
     # invalid-radiance guard (Renderer::isInvalidColor, renderer/renderer.h:58)
     bad = ~jnp.all(jnp.isfinite(radiance), axis=-1) | jnp.any(radiance < 0, axis=-1)
     radiance = jnp.where(bad[..., None], 0.0, radiance)
+    if want_aovs:
+        return radiance, aovs
     return radiance
 
 
@@ -249,6 +279,24 @@ def render_sample(
         scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth
     )
     return rad.reshape(height, width, 3)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "spp", "max_depth", "rr_depth")
+)
+def render_sample_with_aovs(
+    scene, cam_arrays, width, height, frame, sample, spp=1, max_depth=5, rr_depth=3
+):
+    """One sample + first-hit G-buffer, reshaped to images (SVGF input)."""
+    rad, aovs = _trace_paths(
+        scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
+        want_aovs=True,
+    )
+    img = rad.reshape(height, width, 3)
+    out = {}
+    for k, v in aovs.items():
+        out[k] = v.reshape((height, width) + v.shape[1:])
+    return img, out
 
 
 def render_image(scene, cam, spp=16, max_depth=5, rr_depth=3, frame=0):

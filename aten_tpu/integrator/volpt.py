@@ -1,0 +1,307 @@
+"""Volumetric path tracer (surfaces + participating media).
+
+Counterpart of `VolumePathTracing` (src/libaten/renderer/volume/
+volume_pathtracing.cpp + volume_pathtracing_impl.h) and idaten's
+`VolumeRendering` (src/libidaten/volume/volume_rendering.cu): the PT
+bounce loop gains a current-medium register; inside a medium the free
+path is sampled (analytic for homogeneous, delta tracking for grids),
+scatter events do HG-phase NEE with transmittance-aware shadow rays
+that punch through transmissive boundaries
+(TraverseRayInMedium, volume_pathtracing_impl.h:111), and crossing a
+transmissive surface updates the register (UpdateMedium :24-48).
+
+Differences vs the reference, by design: a single current-medium
+register instead of the 8-deep medium stack (misc/stack.h) — nested
+media inside media are rare in the gallery scenes; the register form
+keeps the scan carry flat.  Shadow punch-through is capped at 4
+surfaces (reference caps at 10, pathtracing_impl.h:290).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from aten_tpu.accel.traverse import traverse
+from aten_tpu.core import camera as cam_mod
+from aten_tpu.core import sampler as smp
+from aten_tpu.core import vecmath as vm
+from aten_tpu.integrator.pathtracer import eval_hit
+from aten_tpu.scene.lights import sample_light
+from aten_tpu.scene.materials import MaterialType, gather_material
+from aten_tpu.shading import brdf as brdf_mod
+from aten_tpu.shading import nee
+from aten_tpu.volume.medium import (
+    hg_phase,
+    hg_sample,
+    sample_medium_distance,
+    transmittance,
+)
+
+SHADOW_PUNCH_MAX = 4
+T_FAR = jnp.float32(1e8)
+
+
+def _shadow_transmittance(scene, ro, rd, dist, med, seed):
+    """RGB transmittance along a shadow segment: opaque hit -> 0; each
+    transmissive boundary is punched through, accumulating the current
+    medium's transmittance over the traversed sub-segment."""
+    N = ro.shape[0]
+    tr = jnp.ones((N, 3), jnp.float32)
+    remaining = dist
+    cur_med = med
+    for k in range(SHADOW_PUNCH_MAX):
+        hitres = traverse(scene, ro, rd, t_max=remaining, t_min=1e-3)
+        seg = jnp.where(hitres["hit"], hitres["t"], remaining)
+        tr = tr * transmittance(scene, cur_med, ro, rd, seg, seed + jnp.uint32(k))
+        h = eval_hit(scene, ro, rd, hitres)
+        mat = gather_material(scene["materials"], h["mtl"])
+        transmissive = (
+            (mat["type"] == MaterialType.REFRACTION)
+            | (mat["type"] == MaterialType.MICROFACET_REFRACTION)
+        ) & (mat["medium"] >= 0)
+        blocked = hitres["hit"] & ~transmissive
+        tr = jnp.where(blocked[..., None], 0.0, tr)
+        # crossing the boundary flips the medium register
+        entering = vm.dot(h["ns"], -rd, keepdims=False) > 0.0
+        cur_med = jnp.where(
+            hitres["hit"] & transmissive,
+            jnp.where(entering, mat["medium"], -1),
+            cur_med,
+        )
+        ro = jnp.where(
+            hitres["hit"][..., None], h["p"] + rd * 1e-3, ro
+        )
+        remaining = jnp.where(hitres["hit"], remaining - seg - 1e-3, 0.0)
+        remaining = jnp.maximum(remaining, 0.0)
+    return tr
+
+
+def _trace_volpt(
+    scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth
+):
+    N = width * height
+    pix = jnp.arange(N, dtype=jnp.uint32)
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+    pixel_seed = smp.wang_hash(pix + jnp.uint32(1))
+    state0 = smp.make_state(pixel_seed, frame, sample, spp, bounce=0)
+    ju, jv, state0 = smp.next_2d(state0)
+    s = (px + ju) / width
+    t = (jnp.float32(height - 1) - py + jv) / height
+    ro, rd = cam_mod.generate_ray(cam_arrays, s, t)
+
+    vz = rd[..., 0] * 0.0
+    ro = ro + vz[..., None]
+    radiance = jnp.zeros((N, 3), jnp.float32) + vz[..., None]
+    throughput = jnp.ones((N, 3), jnp.float32) + vz[..., None]
+    alive = vz == 0.0
+    pdf_prev = jnp.ones((N,), jnp.float32) + vz
+    prev_singular = vz == 0.0
+    medium = jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32)
+
+    def bounce_body(carry, bounce):
+        (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, medium) = carry
+        hit = traverse(scene, ro, rd)
+        h = eval_hit(scene, ro, rd, hit)
+        mat = gather_material(scene["materials"], h["mtl"])
+        t_surf = jnp.where(hit["hit"], hit["t"], T_FAR)
+
+        state = smp.make_state(pixel_seed, frame, sample, spp, bounce=bounce + 1)
+        u_dist, state = smp.next_1d(state)
+        u_chan, state = smp.next_1d(state)
+        med_seed = pixel_seed ^ (bounce * jnp.uint32(0x27D4EB2F)) ^ frame
+
+        ms = sample_medium_distance(
+            scene, medium, ro, rd, t_surf, u_dist, u_chan, med_seed
+        ) if "med_sigma_a" in scene else {
+            "t": t_surf, "scattered": jnp.zeros((N,), bool),
+            "weight": jnp.ones((N, 3)), "g": vz, "le": jnp.zeros((N, 3)),
+            "sigma_a": jnp.zeros((N, 3)),
+        }
+        in_medium = medium >= 0
+        throughput = jnp.where(
+            (alive & in_medium)[..., None], throughput * ms["weight"], throughput
+        )
+        scattered = alive & in_medium & ms["scattered"]
+
+        # ---- volume scatter event: NEE + HG continuation
+        p_s = ro + ms["t"][..., None] * rd
+        u_pick, state = smp.next_1d(state)
+        ua, ub, state = smp.next_2d(state)
+        uc, state = smp.next_1d(state)
+        num_lights = scene["num_lights"]
+        if num_lights > 0:
+            lidx = jnp.minimum(
+                (u_pick * num_lights).astype(jnp.int32), jnp.int32(num_lights - 1)
+            )
+            ls = sample_light(scene, lidx, p_s, uc, (ua, ub))
+            cos_sc = vm.dot(-rd, ls["dir"], keepdims=False)
+            ph = hg_phase(ms["g"], cos_sc)
+            tr = _shadow_transmittance(
+                scene, p_s, ls["dir"], ls["dist"] * 0.999, medium, med_seed
+            )
+            dist2 = jnp.maximum(ls["dist"] * ls["dist"], 1e-8)
+            cos_l = jnp.maximum(vm.dot(ls["nml"], -ls["dir"], keepdims=False), 0.0)
+            geom = jnp.where(
+                ls["area_measure"], cos_l / dist2,
+                jnp.ones_like(cos_l),
+            )
+            pdf_sel = jnp.float32(1.0 / num_lights)
+            nee_vol = (
+                ls["le"] * tr * (ph * geom)[..., None]
+                / jnp.maximum(ls["pdf"] * pdf_sel, 1e-12)[..., None]
+            )
+            radiance = radiance + jnp.where(
+                scattered[..., None], throughput * nee_vol, 0.0
+            )
+        # HG continuation (phase/pdf == 1)
+        uh1, uh2, state = smp.next_2d(state)
+        wi_vol, _ = hg_sample(ms["g"], -rd, uh1, uh2)
+
+        # ---- surface interaction (lanes that reached the surface)
+        at_surface = alive & ~scattered & hit["hit"]
+        miss = alive & ~scattered & ~hit["hit"]
+        if scene.get("envmap") is not None:
+            from aten_tpu.scene.envmap import eval_env
+
+            le_bg = eval_env(scene, rd)
+            w_bg = nee.env_miss_weight(scene, rd, pdf_prev, prev_singular)
+        else:
+            le_bg = scene["bg"]
+            w_bg = jnp.ones((N,), jnp.float32)
+        radiance = radiance + jnp.where(
+            miss[..., None], throughput * le_bg * w_bg[..., None], 0.0
+        )
+
+        is_emis = mat["type"] == MaterialType.EMISSIVE
+        cos_lg = vm.dot(h["ng"], -rd, keepdims=False)
+        w_imp = nee.implicit_light_weight(
+            scene, h["light"], pdf_prev, prev_singular, hit["t"], cos_lg
+        )
+        w_imp = jnp.where(h["light"] >= 0, w_imp, 1.0)
+        radiance = radiance + jnp.where(
+            (at_surface & is_emis & (cos_lg > 0))[..., None],
+            throughput * mat["base_color"] * w_imp[..., None],
+            0.0,
+        )
+
+        surf_alive = at_surface & ~is_emis
+        wo = -rd
+        # surface NEE with transmittance-aware shadow rays
+        u_pick2, state = smp.next_1d(state)
+        ua2, ub2, state = smp.next_2d(state)
+        uc2, state = smp.next_1d(state)
+        if num_lights > 0:
+            lidx2 = jnp.minimum(
+                (u_pick2 * num_lights).astype(jnp.int32), jnp.int32(num_lights - 1)
+            )
+            ls2 = sample_light(scene, lidx2, h["p"], uc2, (ua2, ub2))
+            n_or = brdf_mod.orient_normal(h["ns"], wo)
+            cos_s = vm.dot(n_or, ls2["dir"], keepdims=False)
+            f2 = brdf_mod.eval_bsdf(mat, h["ns"], wo, ls2["dir"])
+            pdf_b2 = brdf_mod.eval_pdf(mat, h["ns"], wo, ls2["dir"])
+            tr2 = _shadow_transmittance(
+                scene, h["p"] + n_or * 1e-3, ls2["dir"], ls2["dist"] * 0.999,
+                medium, med_seed + jnp.uint32(7),
+            )
+            dist2b = jnp.maximum(ls2["dist"] * ls2["dist"], 1e-8)
+            cos_l2 = jnp.maximum(vm.dot(ls2["nml"], -ls2["dir"], keepdims=False), 0.0)
+            pdf_sel = jnp.float32(1.0 / num_lights)
+            pdf_b_area = pdf_b2 * cos_l2 / dist2b
+            w_area = nee.mis_balance(ls2["pdf"] * pdf_sel, pdf_b_area)
+            c_area = (
+                f2 * ls2["le"] * tr2
+                * (jnp.maximum(cos_s, 0.0) * cos_l2 / dist2b)[..., None]
+                / jnp.maximum(ls2["pdf"] * pdf_sel, 1e-12)[..., None]
+                * w_area[..., None]
+            )
+            c_sing = (
+                f2 * ls2["le"] * tr2 * jnp.maximum(cos_s, 0.0)[..., None]
+                / jnp.maximum(pdf_sel, 1e-12)
+            )
+            contrib = jnp.where(ls2["area_measure"][..., None], c_area, c_sing)
+            is_sing_mat = (mat["type"] == MaterialType.SPECULAR) | (
+                mat["type"] == MaterialType.REFRACTION
+            )
+            radiance = radiance + jnp.where(
+                (surf_alive & ~is_sing_mat & (cos_s > 0))[..., None],
+                throughput * contrib, 0.0,
+            )
+
+        # RR
+        u_rr, state = smp.next_1d(state)
+        rr_on = bounce >= rr_depth
+        rr_p = jnp.where(rr_on, jnp.clip(jnp.max(throughput, axis=-1), 0.01, 0.95), 1.0)
+        rr_p = jax.lax.stop_gradient(rr_p)
+        alive = alive & (u_rr < rr_p)
+        throughput = throughput / rr_p[..., None]
+
+        # surface BSDF sample
+        u1, u2_, state = smp.next_2d(state)
+        u3, state = smp.next_1d(state)
+        samp = brdf_mod.sample_brdf(mat, h["ns"], wo, u1, u2_, u3)
+        n_or = brdf_mod.orient_normal(h["ns"], wo)
+        cos_wi = jnp.abs(vm.dot(n_or, samp["wi"], keepdims=False))
+        good = (samp["pdf"] > 1e-9) & (cos_wi > 1e-9)
+        pdf_det = jax.lax.stop_gradient(jnp.maximum(samp["pdf"], 1e-9))
+        weight = samp["bsdf"] * (cos_wi / pdf_det)[..., None]
+        throughput = jnp.where(
+            (surf_alive & good)[..., None], throughput * weight, throughput
+        )
+
+        # medium register update on transmission (UpdateMedium)
+        entering = vm.dot(h["ns"], wo, keepdims=False) > 0.0
+        new_med = jnp.where(
+            samp["transmission"] & (mat["medium"] >= 0),
+            jnp.where(entering, mat["medium"], -1),
+            medium,
+        )
+        medium = jnp.where(surf_alive, new_med, medium)
+
+        # choose next ray: volume scatter vs surface bounce
+        off_n = jnp.where(samp["transmission"][..., None], -n_or, n_or)
+        ro_s = h["p"] + off_n * 1e-3
+        ro = jnp.where(scattered[..., None], p_s, ro_s)
+        rd = jnp.where(scattered[..., None], wi_vol, samp["wi"])
+        ro = jax.lax.stop_gradient(ro)
+        rd = jax.lax.stop_gradient(rd)
+
+        alive = alive & (scattered | (surf_alive & good))
+        pdf_prev = jnp.where(scattered, 1.0, samp["pdf"])
+        prev_singular = jnp.where(scattered, True, samp["singular"])
+        return (
+            ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, medium
+        ), None
+
+    carry = (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, medium)
+    carry, _ = jax.lax.scan(
+        bounce_body, carry, jnp.arange(max_depth, dtype=jnp.uint32)
+    )
+    radiance = carry[3]
+    bad = ~jnp.all(jnp.isfinite(radiance), axis=-1) | jnp.any(radiance < 0, axis=-1)
+    return jnp.where(bad[..., None], 0.0, radiance)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "spp", "max_depth", "rr_depth")
+)
+def render_volpt_sample(
+    scene, cam_arrays, width, height, frame, sample, spp=1, max_depth=8, rr_depth=4
+):
+    rad = _trace_volpt(
+        scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth
+    )
+    return rad.reshape(height, width, 3)
+
+
+def render_volpt(scene, cam, spp=8, max_depth=8, rr_depth=4, frame=0):
+    ca = cam.arrays()
+    acc = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
+    for s in range(spp):
+        acc = acc + render_volpt_sample(
+            scene, ca, cam.width, cam.height, jnp.uint32(frame), jnp.uint32(s),
+            spp, max_depth, rr_depth,
+        )
+    return acc / spp

@@ -51,7 +51,7 @@ _SCALAR_FIELDS = dict(
     clearcoat=0.0,
     clearcoat_gloss=1.0,
 )
-_MAP_FIELDS = ("albedo_map", "normal_map", "roughness_map")
+_MAP_FIELDS = ("albedo_map", "normal_map", "roughness_map", "medium")
 
 
 class MaterialTable:

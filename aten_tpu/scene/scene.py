@@ -86,10 +86,12 @@ class SceneData:
 class SceneBuilder:
     def __init__(self):
         from aten_tpu.scene.textures import TextureTable
+        from aten_tpu.volume.medium import MediumTable
 
         self.materials = MaterialTable()
         self.lights = LightTable()
         self.textures = TextureTable()
+        self.media = MediumTable()
         self._vpos = []
         self._vnml = []
         self._vuv = []
@@ -106,6 +108,11 @@ class SceneBuilder:
 
     def add_texture(self, img) -> int:
         return self.textures.add(img)
+
+    def add_medium(self, **kw) -> int:
+        """Register a participating medium (MediumTable.add); attach to a
+        transmissive material via add_material(..., medium=id)."""
+        return self.media.add(**kw)
 
     # -- geometry ----------------------------------------------------------
     def add_sphere(self, center, radius, mtl_id: int) -> int:
@@ -299,6 +306,8 @@ class SceneBuilder:
             arrays.update(build_env_tables(self._envmap))
         if self.textures.images:
             arrays.update(self.textures.arrays())
+        if self.media.rows:
+            arrays.update(self.media.arrays())
         static = {
             "num_tris": num_tris,
             "num_spheres": num_sph,

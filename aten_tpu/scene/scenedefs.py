@@ -68,6 +68,16 @@ def material_test_scene(width=512, height=512, envmap=None):
         b.add_material(MaterialType.GGX, base_color=(0.9, 0.7, 0.3), roughness=0.25, ior=2.0),
         b.add_material(MaterialType.BECKMANN, base_color=(0.3, 0.6, 0.9), roughness=0.35, ior=2.0),
         b.add_material(MaterialType.VELVET, base_color=(0.6, 0.2, 0.5), roughness=0.4),
+        b.add_material(
+            MaterialType.DISNEY, base_color=(0.8, 0.3, 0.2), roughness=0.35,
+            metallic=0.6, sheen=0.3, clearcoat=0.5,
+        ),
+        b.add_material(
+            MaterialType.MICROFACET_REFRACTION, base_color=(0.95, 0.95, 0.98),
+            roughness=0.15, ior=1.5,
+        ),
+        b.add_material(MaterialType.RETROREFLECTIVE, base_color=(0.9, 0.9, 0.6), roughness=0.15),
+        b.add_material(MaterialType.CAR_PAINT, base_color=(0.7, 0.1, 0.1), roughness=0.3),
     ]
     ext = 40.0
     b.add_quad(
@@ -92,6 +102,78 @@ def material_test_scene(width=512, height=512, envmap=None):
         vfov_deg=40.0,
         width=width,
         height=height,
+    )
+    return b.build(), cam
+
+
+def _add_box(b, lo, hi, mtl):
+    """Axis-aligned box as 12 triangles (outward normals)."""
+    x0, y0, z0 = lo
+    x1, y1, z1 = hi
+    b.add_quad([x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1], mtl)  # +z
+    b.add_quad([x1, y0, z0], [x0, y0, z0], [x0, y1, z0], [x1, y1, z0], mtl)  # -z
+    b.add_quad([x1, y0, z1], [x1, y0, z0], [x1, y1, z0], [x1, y1, z1], mtl)  # +x
+    b.add_quad([x0, y0, z0], [x0, y0, z1], [x0, y1, z1], [x0, y1, z0], mtl)  # -x
+    b.add_quad([x0, y1, z1], [x1, y1, z1], [x1, y1, z0], [x0, y1, z0], mtl)  # +y
+    b.add_quad([x0, y0, z0], [x1, y0, z0], [x1, y0, z1], [x0, y0, z1], mtl)  # -y
+
+
+def homogeneous_volume_scene(width=256, height=256, sigma_s=0.8, sigma_a=0.05, g=0.4):
+    """Fog-in-a-box (reference homogeneous-medium gallery scene role):
+    a null-boundary cube filled with a scattering medium, an area light
+    above, a diffuse floor."""
+    b = SceneBuilder()
+    floor = b.add_material(MaterialType.DIFFUSE, base_color=(0.6, 0.6, 0.6))
+    emit = b.add_material(MaterialType.EMISSIVE, base_color=(24.0, 23.0, 21.0))
+    med = b.add_medium(sigma_a=(sigma_a,) * 3, sigma_s=(sigma_s,) * 3, g=g)
+    boundary = b.add_material(
+        MaterialType.REFRACTION, base_color=(1.0, 1.0, 1.0), ior=1.0, medium=med
+    )
+    ext = 12.0
+    b.add_quad([-ext, 0, ext], [ext, 0, ext], [ext, 0, -ext], [-ext, 0, -ext], floor)
+    _add_box(b, (-3, 0.02, -3), (3, 6, 3), boundary)
+    ls, lc = b.add_quad([-2, 9, 2], [-2, 9, -2], [2, 9, -2], [2, 9, 2], emit)
+    b.add_area_light_tris(ls, lc, le=(24.0, 23.0, 21.0))
+    b.set_background((0.05, 0.06, 0.08))
+    cam = PinholeCamera(
+        origin=(0.0, 4.0, 14.0), lookat=(0.0, 2.5, 0.0), vfov_deg=42.0,
+        width=width, height=height,
+    )
+    return b.build(), cam
+
+
+def hetero_volume_scene(width=256, height=256, res=48):
+    """Procedural smoke-ball grid (NanoVDB gallery scene role): density =
+    soft sphere falloff + low-frequency ripple, delta-tracked."""
+    z, y, x = np.meshgrid(
+        np.linspace(-1, 1, res), np.linspace(-1, 1, res), np.linspace(-1, 1, res),
+        indexing="ij",
+    )
+    r = np.sqrt(x * x + y * y + z * z)
+    dens = np.clip(1.0 - r, 0.0, 1.0) ** 1.5
+    dens *= 0.75 + 0.25 * np.sin(6.0 * x) * np.sin(5.0 * y + 1.0) * np.sin(7.0 * z)
+    dens = np.clip(dens * 2.0, 0.0, 1.0).astype(np.float32)
+
+    b = SceneBuilder()
+    floor = b.add_material(MaterialType.DIFFUSE, base_color=(0.55, 0.55, 0.55))
+    emit = b.add_material(MaterialType.EMISSIVE, base_color=(20.0, 19.0, 18.0))
+    lo, hi = (-2.0, 0.2, -2.0), (2.0, 4.2, 2.0)
+    med = b.add_medium(
+        sigma_a=(0.2, 0.2, 0.2), sigma_s=(3.0, 3.0, 3.0), g=0.2,
+        grid=dens, grid_bmin=lo, grid_bmax=hi,
+    )
+    boundary = b.add_material(
+        MaterialType.REFRACTION, base_color=(1.0, 1.0, 1.0), ior=1.0, medium=med
+    )
+    ext = 12.0
+    b.add_quad([-ext, 0, ext], [ext, 0, ext], [ext, 0, -ext], [-ext, 0, -ext], floor)
+    _add_box(b, lo, hi, boundary)
+    ls, lc = b.add_quad([-2, 8, 2], [-2, 8, -2], [2, 8, -2], [2, 8, 2], emit)
+    b.add_area_light_tris(ls, lc, le=(20.0, 19.0, 18.0))
+    b.set_background((0.06, 0.07, 0.09))
+    cam = PinholeCamera(
+        origin=(0.0, 3.0, 11.0), lookat=(0.0, 2.0, 0.0), vfov_deg=42.0,
+        width=width, height=height,
     )
     return b.build(), cam
 

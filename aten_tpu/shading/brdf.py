@@ -195,6 +195,287 @@ def _velvet_eval(mat, n, wo, wi):
 
 
 # ---------------------------------------------------------------------------
+# Disney principled BRDF (disney_brdf.cpp role; Burley 2012)
+# ---------------------------------------------------------------------------
+
+
+def _schlick_w(c):
+    return jnp.clip(1.0 - c, 0.0, 1.0) ** 5
+
+
+def _gtr1_d(nh, a):
+    a = jnp.clip(a, 1e-3, 0.999)
+    a2 = a * a
+    t = 1.0 + (a2 - 1.0) * nh * nh
+    denom = PI * jnp.log(a2) * t  # negative for a<1; numerator negative too
+    return (a2 - 1.0) / jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+
+
+def _disney_lobes(mat):
+    """Static per-lane lobe weights for the sampling mixture."""
+    w_diff = (1.0 - mat["metallic"])
+    w_spec = jnp.ones_like(w_diff)
+    w_cc = 0.25 * mat["clearcoat"]
+    tot = jnp.maximum(w_diff + w_spec + w_cc, 1e-6)
+    return w_diff / tot, w_spec / tot, w_cc / tot
+
+
+def _disney_eval_pdf(mat, n, wo, wi):
+    bc = mat["base_color"]
+    rough = jnp.clip(mat["roughness"], 0.02, 1.0)
+    metallic = mat["metallic"]
+    nv = vm.dot(n, wo, keepdims=False)
+    nl = vm.dot(n, wi, keepdims=False)
+    h = vm.normalize(wo + wi)
+    nh = jnp.clip(vm.dot(n, h, keepdims=False), 0.0, 1.0)
+    lh = jnp.clip(vm.dot(wi, h, keepdims=False), 0.0, 1.0)
+    lum = vm.luminance(bc)[..., 0]
+    ctint = bc / jnp.maximum(lum, 1e-4)[..., None]
+
+    # diffuse + subsurface (Burley)
+    fl = _schlick_w(nl)
+    fv = _schlick_w(nv)
+    fd90 = 0.5 + 2.0 * lh * lh * rough
+    fd = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
+    fss90 = lh * lh * rough
+    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
+    ss = 1.25 * (fss * (1.0 / jnp.maximum(nl + nv, 1e-4) - 0.5) + 0.5)
+    f_diff = bc / PI * jnp.where(
+        (mat["subsurface"] > 0)[..., None],
+        ((1.0 - mat["subsurface"]) * fd + mat["subsurface"] * ss)[..., None],
+        fd[..., None],
+    )
+    # sheen
+    csheen = (1.0 - mat["sheen_tint"])[..., None] + mat["sheen_tint"][..., None] * ctint
+    f_sheen = mat["sheen"][..., None] * csheen * _schlick_w(lh)[..., None]
+
+    # specular GGX
+    a = jnp.maximum(rough * rough, 1e-3)
+    cspec0 = (
+        mat["specular"][..., None]
+        * 0.08
+        * ((1.0 - mat["specular_tint"])[..., None] + mat["specular_tint"][..., None] * ctint)
+    )
+    cspec0 = cspec0 * (1.0 - metallic)[..., None] + bc * metallic[..., None]
+    d_spec = _ggx_d(nh, a)
+    g_spec = _ggx_g1(nv, a) * _ggx_g1(nl, a)
+    f_spec_f = cspec0 + (1.0 - cspec0) * _schlick_w(lh)[..., None]
+    f_spec = f_spec_f * (d_spec * g_spec / jnp.maximum(4.0 * nv * nl, 1e-6))[..., None]
+
+    # clearcoat (GTR1, fixed F0 0.04, G alpha 0.25)
+    a_cc = (1.0 - mat["clearcoat_gloss"]) * 0.1 + mat["clearcoat_gloss"] * 0.001
+    a_cc = jnp.sqrt(jnp.clip(a_cc, 1e-4, 1.0))
+    d_cc = _gtr1_d(nh, a_cc)
+    f_cc = 0.04 + 0.96 * _schlick_w(lh)
+    g_cc = _ggx_g1(nv, 0.25) * _ggx_g1(nl, 0.25)
+    f_clear = (0.25 * mat["clearcoat"] * d_cc * f_cc * g_cc / jnp.maximum(4.0 * nv * nl, 1e-6))[..., None]
+
+    f = (f_diff + f_sheen) * (1.0 - metallic)[..., None] + f_spec + f_clear
+    valid = (nv > 0) & (nl > 0)
+    f = jnp.where(valid[..., None], f, 0.0)
+
+    # mixture pdf
+    w_d, w_s, w_c = _disney_lobes(mat)
+    pdf_d = jnp.maximum(nl, 0.0) / PI
+    vh = jnp.clip(vm.dot(wo, h, keepdims=False), 1e-6, 1.0)
+    pdf_s = d_spec * nh / (4.0 * vh)
+    pdf_c = d_cc * nh / (4.0 * vh)
+    pdf = w_d * pdf_d + w_s * pdf_s + w_c * pdf_c
+    pdf = jnp.where(valid, pdf, 0.0)
+    return f, pdf
+
+
+def _disney_sample(mat, n, wo, u1, u2, u3):
+    w_d, w_s, w_c = _disney_lobes(mat)
+    # cosine lobe
+    wi_d, _ = _cos_hemisphere_sample(n, u1, u2)
+    # GGX specular lobe
+    h_s = _microfacet_sample_h(mat, n, u1, u2, "ggx")
+    wi_s = vm.normalize(2.0 * vm.dot(wo, h_s) * h_s - wo)
+    # clearcoat GTR1 lobe
+    a_cc = (1.0 - mat["clearcoat_gloss"]) * 0.1 + mat["clearcoat_gloss"] * 0.001
+    a_cc = jnp.sqrt(jnp.clip(a_cc, 1e-4, 1.0))
+    a2 = jnp.clip(a_cc * a_cc, 1e-6, 0.999)
+    u1c = jnp.clip(u1, 1e-6, 1.0 - 1e-6)
+    cos2 = (1.0 - a2 ** (1.0 - u1c)) / (1.0 - a2)
+    cos_t = jnp.sqrt(jnp.clip(cos2, 0.0, 1.0))
+    sin_t = jnp.sqrt(jnp.clip(1.0 - cos2, 0.0, 1.0))
+    phi = 2.0 * PI * u2
+    local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
+    h_c = vm.normalize(vm.to_world(local, n))
+    wi_c = vm.normalize(2.0 * vm.dot(wo, h_c) * h_c - wo)
+
+    pick_d = u3 < w_d
+    pick_c = u3 >= (w_d + w_s)
+    wi = jnp.where(pick_d[..., None], wi_d, jnp.where(pick_c[..., None], wi_c, wi_s))
+    return wi
+
+
+# ---------------------------------------------------------------------------
+# Rough dielectric (MicrofacetRefraction, Walter et al. 2007;
+# material/microfacet_refraction.cpp role)
+# ---------------------------------------------------------------------------
+
+
+def _rough_dielectric_eval_pdf(mat, ns, wo, wi):
+    """f and pdf for a GGX rough dielectric at arbitrary wi (both
+    reflection and transmission branches)."""
+    n = orient_normal(ns, wo)
+    entering = vm.dot(ns, wo, keepdims=False) > 0.0
+    eta_i = jnp.where(entering, 1.0, mat["ior"])
+    eta_t = jnp.where(entering, mat["ior"], 1.0)
+    a = _ggx_alpha(mat)
+
+    nv = jnp.clip(vm.dot(n, wo, keepdims=False), 1e-6, 1.0)
+    nl = vm.dot(n, wi, keepdims=False)  # signed: <0 => transmission
+    reflecting = nl > 0.0
+
+    # reflection half-vector
+    h_r = vm.normalize(wo + wi)
+    # transmission half-vector (Walter eq. 16), oriented to n's side
+    ht = -(eta_i[..., None] * wo + eta_t[..., None] * wi)
+    h_t = vm.normalize(ht)
+    h_t = h_t * jnp.sign(vm.dot(h_t, n))
+    h = jnp.where(reflecting[..., None], h_r, h_t)
+
+    nh = jnp.clip(vm.dot(n, h, keepdims=False), 0.0, 1.0)
+    vh = vm.dot(wo, h, keepdims=False)
+    lh = vm.dot(wi, h, keepdims=False)
+    d = _ggx_d(nh, a)
+    g = _ggx_g1(jnp.abs(nv), a) * _ggx_g1(jnp.abs(nl), a)
+    F = fresnel_dielectric(jnp.clip(jnp.abs(vh), 0.0, 1.0), eta_i, eta_t)
+
+    # reflection branch
+    f_r = d * g * F / jnp.maximum(4.0 * jnp.abs(nv * nl), 1e-6)
+    pdf_r = d * nh / jnp.maximum(4.0 * jnp.abs(vh), 1e-6) * F
+    # transmission branch (Walter eq. 21)
+    denom = eta_i * vh + eta_t * lh
+    denom2 = jnp.maximum(denom * denom, 1e-8)
+    jac_t = eta_t * eta_t * jnp.abs(lh) / denom2
+    f_t = (
+        jnp.abs(vh * lh)
+        / jnp.maximum(jnp.abs(nv * nl), 1e-6)
+        * eta_t * eta_t * (1.0 - F) * d * g / denom2
+    )
+    pdf_t = d * nh * jac_t * (1.0 - F)
+
+    valid_r = reflecting & (nh > 0)
+    valid_t = (~reflecting) & (nh > 0)
+    f = jnp.where(valid_r, f_r, jnp.where(valid_t, f_t, 0.0))
+    pdf = jnp.where(valid_r, pdf_r, jnp.where(valid_t, pdf_t, 0.0))
+    return f[..., None] * mat["base_color"], pdf
+
+
+def _rough_dielectric_sample(mat, ns, wo, u1, u2, u3):
+    n = orient_normal(ns, wo)
+    entering = vm.dot(ns, wo, keepdims=False) > 0.0
+    eta_i = jnp.where(entering, 1.0, mat["ior"])
+    eta_t = jnp.where(entering, mat["ior"], 1.0)
+    h = _microfacet_sample_h(mat, n, u1, u2, "ggx")
+    vh = jnp.clip(vm.dot(wo, h, keepdims=False), 0.0, 1.0)
+    F = fresnel_dielectric(vh, eta_i, eta_t)
+    wi_r = vm.normalize(2.0 * vm.dot(wo, h) * h - wo)
+    wt, tir = vm.refract(wo, h * jnp.sign(vm.dot(h, wo)), (eta_i / eta_t)[..., None])
+    choose_reflect = (u3 < F) | tir
+    wi = jnp.where(choose_reflect[..., None], wi_r, wt)
+    return wi, ~choose_reflect
+
+
+# ---------------------------------------------------------------------------
+# Retroreflective (retroreflective.cpp role, simplified): a Beckmann-like
+# lobe concentrated around the INCOMING direction (wi ~ wo), as produced by
+# corner-cube sheeting, over a diffuse floor.  The reference implements a
+# measured effective-area model; this is a compact analytic stand-in with
+# the same phenomenology (bright back-reflection, diffuse fallback).
+# ---------------------------------------------------------------------------
+
+_RETRO_KS = 0.55
+_RETRO_KD = 0.3
+
+
+def _retro_eval_pdf(mat, n, wo, wi):
+    a = jnp.clip(mat["roughness"], 0.02, 1.0)
+    nv = vm.dot(n, wo, keepdims=False)
+    nl = vm.dot(n, wi, keepdims=False)
+    c = jnp.clip(vm.dot(wo, wi, keepdims=False), -1.0, 1.0)  # retro alignment
+    sin2 = jnp.maximum(1.0 - c * c, 0.0)
+    # normalized spherical-gaussian-ish lobe about wo
+    sharp = 2.0 / jnp.maximum(a * a, 1e-4)
+    lobe = sharp / (2.0 * PI) * jnp.exp(-sharp * 0.5 * sin2)
+    f = _RETRO_KD / PI + _RETRO_KS * lobe / jnp.maximum(jnp.abs(nl), 1e-4)
+    valid = (nv > 0) & (nl > 0)
+    f = jnp.where(valid, f, 0.0)[..., None] * mat["base_color"]
+    pdf_cos = jnp.maximum(nl, 0.0) / PI
+    pdf = 0.5 * pdf_cos + 0.5 * jnp.where(valid, lobe, 0.0)
+    return f, pdf
+
+
+def _retro_sample(mat, n, wo, u1, u2, u3):
+    a = jnp.clip(mat["roughness"], 0.02, 1.0)
+    wi_d, _ = _cos_hemisphere_sample(n, u1, u2)
+    # perturb around wo with the same lobe sharpness
+    sharp = 2.0 / jnp.maximum(a * a, 1e-4)
+    u1c = jnp.clip(u1, 1e-6, 1.0 - 1e-6)
+    sin2 = jnp.minimum(-jnp.log(u1c) * 2.0 / sharp, 1.0)
+    cos_t = jnp.sqrt(1.0 - sin2)
+    sin_t = jnp.sqrt(sin2)
+    phi = 2.0 * PI * u2
+    local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
+    wi_r = vm.normalize(vm.to_world(local, vm.normalize(wo)))
+    return jnp.where((u3 < 0.5)[..., None], wi_d, wi_r)
+
+
+# ---------------------------------------------------------------------------
+# Car paint (car_paint.cpp + FlakesNormal role, simplified): diffuse base
+# coat + metallic-flake GGX lobe + smooth clearcoat GGX lobe.  The
+# reference perturbs the flake normal with a procedural texture; here the
+# flake lobe's roughness stands in for flake orientation spread (a normal
+# map supplies true sparkle when bound).
+# ---------------------------------------------------------------------------
+
+
+def _carpaint_eval_pdf(mat, n, wo, wi):
+    nv = vm.dot(n, wo, keepdims=False)
+    nl = vm.dot(n, wi, keepdims=False)
+    h = vm.normalize(wo + wi)
+    nh = jnp.clip(vm.dot(n, h, keepdims=False), 0.0, 1.0)
+    vh = jnp.clip(vm.dot(wo, h, keepdims=False), 1e-6, 1.0)
+    f_diff = mat["base_color"] / PI * 0.6
+    a_fl = jnp.maximum(mat["roughness"] ** 2, 1e-3)
+    d_fl = _ggx_d(nh, a_fl)
+    g_fl = _ggx_g1(nv, a_fl) * _ggx_g1(nl, a_fl)
+    f_fl = (d_fl * g_fl / jnp.maximum(4.0 * nv * nl, 1e-6))[..., None] * mat["base_color"] * 0.4
+    a_cc = jnp.float32(0.01)
+    d_cc = _ggx_d(nh, a_cc)
+    g_cc = _ggx_g1(nv, a_cc) * _ggx_g1(nl, a_cc)
+    f_cc = (0.04 + 0.96 * _schlick_w(vh)) * d_cc * g_cc / jnp.maximum(4.0 * nv * nl, 1e-6)
+    f = f_diff * jnp.ones_like(mat["base_color"]) + f_fl + f_cc[..., None]
+    valid = (nv > 0) & (nl > 0)
+    f = jnp.where(valid[..., None], f, 0.0)
+    pdf = (
+        0.5 * jnp.maximum(nl, 0.0) / PI
+        + 0.35 * d_fl * nh / (4.0 * vh)
+        + 0.15 * d_cc * nh / (4.0 * vh)
+    )
+    return f, jnp.where(valid, pdf, 0.0)
+
+
+def _carpaint_sample(mat, n, wo, u1, u2, u3):
+    wi_d, _ = _cos_hemisphere_sample(n, u1, u2)
+    h_fl = _microfacet_sample_h(mat, n, u1, u2, "ggx")
+    wi_fl = vm.normalize(2.0 * vm.dot(wo, h_fl) * h_fl - wo)
+    mat_cc = dict(mat, roughness=jnp.full_like(mat["roughness"], 0.1))
+    h_cc = _microfacet_sample_h(mat_cc, n, u1, u2, "ggx")
+    wi_cc = vm.normalize(2.0 * vm.dot(wo, h_cc) * h_cc - wo)
+    wi = jnp.where(
+        (u3 < 0.5)[..., None],
+        wi_d,
+        jnp.where((u3 < 0.85)[..., None], wi_fl, wi_cc),
+    )
+    return wi
+
+
+# ---------------------------------------------------------------------------
 # Dispatch tables
 # ---------------------------------------------------------------------------
 
@@ -212,18 +493,26 @@ def eval_bsdf(mat, ns, wo, wi):
     mtype = mat["type"]
     nl = jnp.clip(vm.dot(n, wi, keepdims=False), 0.0, 1.0)[..., None]
 
-    f = mat["base_color"] / PI * jnp.ones_like(nl)  # DIFFUSE
+    f = mat["base_color"] / PI * jnp.ones_like(nl)  # DIFFUSE (+ TOON in PT)
     f = jnp.where((nl > 0), f, 0.0)
     f_on = _oren_nayar_eval(mat, n, wo, wi)
     f_ggx, _ = _microfacet_eval(mat, n, wo, wi, "ggx")
     f_bek, _ = _microfacet_eval(mat, n, wo, wi, "beckmann")
     f_vel = _velvet_eval(mat, n, wo, wi)
+    f_dis, _ = _disney_eval_pdf(mat, n, wo, wi)
+    f_rough_t, _ = _rough_dielectric_eval_pdf(mat, ns, wo, wi)
+    f_ret, _ = _retro_eval_pdf(mat, n, wo, wi)
+    f_car, _ = _carpaint_eval_pdf(mat, n, wo, wi)
 
     t = mtype[..., None]
     out = jnp.where(t == MaterialType.OREN_NAYAR, f_on, f)
     out = jnp.where(t == MaterialType.GGX, f_ggx, out)
     out = jnp.where(t == MaterialType.BECKMANN, f_bek, out)
     out = jnp.where(t == MaterialType.VELVET, f_vel, out)
+    out = jnp.where(t == MaterialType.DISNEY, f_dis, out)
+    out = jnp.where(t == MaterialType.MICROFACET_REFRACTION, f_rough_t, out)
+    out = jnp.where(t == MaterialType.RETROREFLECTIVE, f_ret, out)
+    out = jnp.where(t == MaterialType.CAR_PAINT, f_car, out)
     zero_types = (
         (t == MaterialType.SPECULAR)
         | (t == MaterialType.REFRACTION)
@@ -241,9 +530,17 @@ def eval_pdf(mat, ns, wo, wi):
     pdf_cos = nl / PI
     _, pdf_ggx = _microfacet_eval(mat, n, wo, wi, "ggx")
     _, pdf_bek = _microfacet_eval(mat, n, wo, wi, "beckmann")
+    _, pdf_dis = _disney_eval_pdf(mat, n, wo, wi)
+    _, pdf_rt = _rough_dielectric_eval_pdf(mat, ns, wo, wi)
+    _, pdf_ret = _retro_eval_pdf(mat, n, wo, wi)
+    _, pdf_car = _carpaint_eval_pdf(mat, n, wo, wi)
     out = pdf_cos
     out = jnp.where(mtype == MaterialType.GGX, pdf_ggx, out)
     out = jnp.where(mtype == MaterialType.BECKMANN, pdf_bek, out)
+    out = jnp.where(mtype == MaterialType.DISNEY, pdf_dis, out)
+    out = jnp.where(mtype == MaterialType.MICROFACET_REFRACTION, pdf_rt, out)
+    out = jnp.where(mtype == MaterialType.RETROREFLECTIVE, pdf_ret, out)
+    out = jnp.where(mtype == MaterialType.CAR_PAINT, pdf_car, out)
     zero = (
         (mtype == MaterialType.SPECULAR)
         | (mtype == MaterialType.REFRACTION)
@@ -281,6 +578,12 @@ def sample_brdf(mat, ns, wo, u1, u2, u3):
     choose_reflect = (u3 < F) | tir
     wi_refr = jnp.where(choose_reflect[..., None], wi_spec, wt)
 
+    # lobe-mixture samplers
+    wi_dis = _disney_sample(mat, n, wo, u1, u2, u3)
+    wi_rt, rt_transmit = _rough_dielectric_sample(mat, ns, wo, u1, u2, u3)
+    wi_ret = _retro_sample(mat, n, wo, u1, u2, u3)
+    wi_car = _carpaint_sample(mat, n, wo, u1, u2, u3)
+
     # assemble wi
     t3 = mtype[..., None]
     wi = wi_cos
@@ -288,6 +591,10 @@ def sample_brdf(mat, ns, wo, u1, u2, u3):
     wi = jnp.where(t3 == MaterialType.BECKMANN, wi_bek, wi)
     wi = jnp.where(t3 == MaterialType.SPECULAR, wi_spec, wi)
     wi = jnp.where(t3 == MaterialType.REFRACTION, wi_refr, wi)
+    wi = jnp.where(t3 == MaterialType.DISNEY, wi_dis, wi)
+    wi = jnp.where(t3 == MaterialType.MICROFACET_REFRACTION, wi_rt, wi)
+    wi = jnp.where(t3 == MaterialType.RETROREFLECTIVE, wi_ret, wi)
+    wi = jnp.where(t3 == MaterialType.CAR_PAINT, wi_car, wi)
 
     # pdf + bsdf via the shared evaluators (keeps sample/eval consistent)
     pdf = eval_pdf(mat, ns, wo, wi)
@@ -305,7 +612,9 @@ def sample_brdf(mat, ns, wo, u1, u2, u3):
     pdf = jnp.where(is_spec | is_refr, 1.0, pdf)
 
     singular = is_spec | is_refr
-    transmission = is_refr & ~choose_reflect
+    transmission = (is_refr & ~choose_reflect) | (
+        (mtype == MaterialType.MICROFACET_REFRACTION) & rt_transmit
+    )
     return {
         "wi": wi,
         "pdf": pdf,

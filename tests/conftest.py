@@ -1,18 +1,34 @@
-"""Test harness: run everything on a virtual 8-device CPU mesh.
+"""Test harness: virtual 8-device CPU mesh + persistent compile cache.
 
 Mirrors SURVEY.md §4's plan: the CPU backend is the reference oracle;
 sharding tests use 8 virtual CPU devices.
 
-NOTE: in this environment the axon TPU plugin ignores the
-JAX_PLATFORMS env var, so the platform must be forced through
-jax.config BEFORE any backend is initialized.
+NOTE: in this environment the axon TPU plugin ignores the JAX_PLATFORMS
+env var, so platform AND cache must be forced through jax.config BEFORE
+any backend is initialized.
 """
 import os
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/aten_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
-import jax  # noqa: E402
+import jax
+import pytest
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+# Persistent compile cache: the integrator/sharding programs take minutes
+# to compile on the CPU backend; the cache makes repeat suite runs fast.
+jax.config.update("jax_compilation_cache_dir", "/tmp/aten_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("ATEN_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; set ATEN_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running validation test")

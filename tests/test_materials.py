@@ -49,6 +49,11 @@ def _estimate_reflectance(mat_b, wo):
         (MaterialType.BECKMANN, {"roughness": 0.3, "ior": 1.8}),
         (MaterialType.SPECULAR, {}),
         (MaterialType.REFRACTION, {"ior": 1.5}),
+        (MaterialType.VELVET, {"roughness": 0.4}),
+        (MaterialType.DISNEY, {"roughness": 0.4, "metallic": 0.3, "clearcoat": 0.5, "sheen": 0.3}),
+        (MaterialType.MICROFACET_REFRACTION, {"roughness": 0.2, "ior": 1.5}),
+        (MaterialType.RETROREFLECTIVE, {"roughness": 0.2}),
+        (MaterialType.CAR_PAINT, {"roughness": 0.3}),
     ],
 )
 def test_energy_conservation(mtype, kw):
@@ -75,6 +80,10 @@ def test_diffuse_furnace_exact():
         (MaterialType.DIFFUSE, {}),
         (MaterialType.GGX, {"roughness": 0.4, "ior": 1.6}),
         (MaterialType.BECKMANN, {"roughness": 0.4, "ior": 1.6}),
+        (MaterialType.DISNEY, {"roughness": 0.4, "metallic": 0.5}),
+        (MaterialType.MICROFACET_REFRACTION, {"roughness": 0.3, "ior": 1.5}),
+        (MaterialType.RETROREFLECTIVE, {"roughness": 0.3}),
+        (MaterialType.CAR_PAINT, {"roughness": 0.3}),
     ],
 )
 def test_sample_eval_pdf_consistent(mtype, kw):
