@@ -19,10 +19,85 @@ are layered on in `aten_tpu.accel.tlas`.
 """
 from __future__ import annotations
 
+import ctypes
+import os
+import subprocess
+
 import numpy as np
 
 LEAF_MAX = 4
 N_BINS = 16
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_native_lib = None
+_native_tried = False
+
+
+def _load_native():
+    """Build (once) and load the C++ builder; None if unavailable."""
+    global _native_lib, _native_tried
+    if _native_tried:
+        return _native_lib
+    _native_tried = True
+    so = os.path.join(_NATIVE_DIR, "libbvh.so")
+    src = os.path.join(_NATIVE_DIR, "bvh_builder.cpp")
+    try:
+        if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 "-std=c++17", "-o", so, src],
+                check=True, capture_output=True, timeout=120,
+            )
+        lib = ctypes.CDLL(so)
+        lib.aten_build_bvh.restype = ctypes.c_int64
+        lib.aten_build_bvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        _native_lib = lib
+    except Exception:
+        _native_lib = None
+    return _native_lib
+
+
+def _build_bvh_native(bmin, bmax, leaf_max):
+    lib = _load_native()
+    if lib is None:
+        return None
+    bmin = np.ascontiguousarray(bmin, np.float32)
+    bmax = np.ascontiguousarray(bmax, np.float32)
+    P = bmin.shape[0]
+    Kmax = 2 * P
+    nbmin = np.empty((Kmax, 3), np.float32)
+    nbmax = np.empty((Kmax, 3), np.float32)
+    hit = np.empty(Kmax, np.int32)
+    miss = np.empty(Kmax, np.int32)
+    ps = np.empty(Kmax, np.int32)
+    pc = np.empty(Kmax, np.int32)
+    order = np.empty(P, np.int32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    K = lib.aten_build_bvh(
+        bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
+        ctypes.c_int64(P), ctypes.c_int32(leaf_max),
+        nbmin.ctypes.data_as(fp), nbmax.ctypes.data_as(fp),
+        hit.ctypes.data_as(ip), miss.ctypes.data_as(ip),
+        ps.ctypes.data_as(ip), pc.ctypes.data_as(ip),
+        order.ctypes.data_as(ip),
+    )
+    return {
+        "nodes_bmin": nbmin[:K].copy(),
+        "nodes_bmax": nbmax[:K].copy(),
+        "nodes_hit": hit[:K].copy(),
+        "nodes_miss": miss[:K].copy(),
+        "nodes_prim_start": ps[:K].copy(),
+        "nodes_prim_count": pc[:K].copy(),
+        "prim_order": order,
+    }
 
 
 def _sah_split(bmin, bmax, cent, idx):
@@ -76,8 +151,12 @@ def _sah_split(bmin, bmax, cent, idx):
     return idx[lmask], idx[~lmask]
 
 
-def build_bvh(bmin: np.ndarray, bmax: np.ndarray, leaf_max: int = LEAF_MAX):
+def build_bvh(bmin: np.ndarray, bmax: np.ndarray, leaf_max: int = LEAF_MAX,
+              use_native: bool = True):
     """Build threaded BVH arrays over P primitive boxes.
+
+    Uses the C++ builder (native/bvh_builder.cpp, compiled on demand) for
+    larger scenes; the NumPy path below is the oracle and fallback.
 
     Returns dict of numpy arrays:
       nodes_bmin/bmax [K,3] f32, nodes_hit/miss [K] i32,
@@ -88,6 +167,10 @@ def build_bvh(bmin: np.ndarray, bmax: np.ndarray, leaf_max: int = LEAF_MAX):
     bmax = np.asarray(bmax, np.float32)
     P = bmin.shape[0]
     assert P > 0
+    if use_native and P > 512:
+        out = _build_bvh_native(bmin, bmax, leaf_max)
+        if out is not None:
+            return out
     cent = (bmin + bmax) * 0.5
 
     # Recursive build into a pointer tree (children as list indices).

@@ -106,6 +106,84 @@ def material_test_scene(width=512, height=512, envmap=None):
     return b.build(), cam
 
 
+# Reference asset tree (read-only mount); scenes below skip gracefully
+# when it is absent.
+REF_ASSET_DIR = "/root/reference/asset"
+
+
+def obj_cornell_box(width=512, height=512, le=(36.0, 33.0, 26.0)):
+    """The reference's canonical ObjCornellBoxScene (scenedefs.cpp:732):
+    asset/cornellbox/orig.obj with the 'light' material overridden to an
+    emissive + area light, mirroring its material callback."""
+    import os
+
+    from aten_tpu.scene.objloader import _mtl_to_material, load_obj
+
+    path = os.path.join(REF_ASSET_DIR, "cornellbox", "orig.obj")
+    b = SceneBuilder()
+
+    def override(name, mtl):
+        if name == "light":
+            return b.add_material(MaterialType.EMISSIVE, base_color=le)
+        return _mtl_to_material(b, mtl) if mtl else b.add_material(
+            MaterialType.DIFFUSE, base_color=(0.6, 0.6, 0.6)
+        )
+
+    groups = load_obj(b, path, mtl_override=override)
+    ls, lc = groups["light"]
+    b.add_area_light_tris(ls, lc, le=le)
+    cam = PinholeCamera(
+        origin=(0.0, 1.0, 3.0), lookat=(0.0, 1.0, 0.0), vfov_deg=45.0,
+        width=width, height=height,
+    )
+    return b.build(), cam
+
+
+def dragon_scene(width=512, height=512):
+    """100k-triangle dragon on a floor — the BVH-scale fixture."""
+    import os
+
+    from aten_tpu.scene.objloader import load_obj
+
+    b = SceneBuilder()
+    gold = b.add_material(
+        MaterialType.GGX, base_color=(0.95, 0.75, 0.35), roughness=0.25, ior=2.5
+    )
+    floor = b.add_material(MaterialType.DIFFUSE, base_color=(0.55, 0.55, 0.55))
+    emit = b.add_material(MaterialType.EMISSIVE, base_color=(26.0, 25.0, 23.0))
+    load_obj(
+        b, os.path.join(REF_ASSET_DIR, "dragon", "dragon.obj"),
+        mtl_override=lambda n, m: gold,
+    )
+    ext = 30.0
+    b.add_quad([-ext, -0.6, ext], [ext, -0.6, ext], [ext, -0.6, -ext], [-ext, -0.6, -ext], floor)
+    ls, lc = b.add_quad([-4, 14, 4], [-4, 14, -4], [4, 14, -4], [4, 14, 4], emit)
+    b.add_area_light_tris(ls, lc, le=(26.0, 25.0, 23.0))
+    b.set_background((0.12, 0.14, 0.18))
+    cam = PinholeCamera(
+        origin=(0.0, 4.0, 14.0), lookat=(0.0, 1.5, 0.0), vfov_deg=40.0,
+        width=width, height=height,
+    )
+    return b.build(), cam
+
+
+def sponza_scene(width=512, height=512):
+    """sponza_lod.obj (12.8k tris) with a sun + sky (gallery config role)."""
+    import os
+
+    from aten_tpu.scene.objloader import load_obj
+
+    b = SceneBuilder()
+    load_obj(b, os.path.join(REF_ASSET_DIR, "sponza", "sponza_lod.obj"))
+    b.add_directional_light((-0.35, -1.0, 0.2), le=(6.0, 5.8, 5.2))
+    b.set_background((0.6, 0.75, 0.95))
+    cam = PinholeCamera(
+        origin=(-7.0, 2.0, 0.0), lookat=(10.0, 2.5, 0.0), vfov_deg=55.0,
+        width=width, height=height,
+    )
+    return b.build(), cam
+
+
 def _add_box(b, lo, hi, mtl):
     """Axis-aligned box as 12 triangles (outward normals)."""
     x0, y0, z0 = lo
