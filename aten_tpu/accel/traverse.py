@@ -131,6 +131,12 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
     the detached-sampling differentiability design (hit *attributes* are
     re-derived differentiably by the shader, not here).
     """
+    if "tl_bmin" in scene:
+        from aten_tpu.accel.tlas import traverse_two_level
+
+        return traverse_two_level(
+            scene, ro, rd, t_max=t_max, any_hit=any_hit, t_min=t_min
+        )
     num_prims = scene["num_tris"] + scene["num_spheres"]
     if impl == "dense" or (impl == "auto" and num_prims <= DENSE_MAX_PRIMS):
         ro = jax.lax.stop_gradient(ro)

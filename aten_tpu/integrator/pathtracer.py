@@ -54,6 +54,19 @@ def eval_hit(scene, ro, rd, hit):
     t_safe = jnp.where(hit["hit"], hit["t"], 1.0)
     p = ro + t_safe[..., None] * rd
 
+    # Instanced hit: primitive data is object-local; resolve sphere
+    # normals against the local-space position and transform normals to
+    # world with the instance normal matrix W2L^T (EvaluateHitResult.h's
+    # L2W transform of hit attributes).
+    instanced = "inst_nmtx" in scene and hit.get("inst") is not None
+    if instanced:
+        iid = jnp.where(hit["inst"] >= 0, hit["inst"], scene["num_instances"])
+        w2l = jnp.take(scene["inst_w2l"], iid, axis=0)  # [N,3,4]
+        p_loc = jnp.einsum("nij,nj->ni", w2l[:, :, :3], p) + w2l[:, :, 3]
+        nmtx = jnp.take(scene["inst_nmtx"], iid, axis=0)
+    else:
+        p_loc = p
+
     u = hit["u"][..., None]
     v = hit["v"][..., None]
     w = 1.0 - u - v
@@ -73,13 +86,16 @@ def eval_hit(scene, ro, rd, hit):
 
     c = jnp.take(scene["sph_center"], sid, axis=0)
     r = jnp.take(scene["sph_radius"], sid)[..., None]
-    ns_sph = (p - c) / jnp.maximum(r, 1e-12)
+    ns_sph = (p_loc - c) / jnp.maximum(r, 1e-12)
     mtl_sph = jnp.take(scene["sph_mtl"], sid)
     light_sph = jnp.take(scene["sph_light"], sid)
 
     m3 = is_tri[..., None]
     ns = jnp.where(m3, ns_tri, ns_sph)
     ng = jnp.where(m3, ng_tri, ns_sph)
+    if instanced:
+        ns = vm.normalize(jnp.einsum("nij,nj->ni", nmtx, ns))
+        ng = vm.normalize(jnp.einsum("nij,nj->ni", nmtx, ng))
     uv = jnp.where(is_tri[..., None], uv_tri, 0.5)
     return {
         "p": p,

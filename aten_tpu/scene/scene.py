@@ -64,6 +64,12 @@ class SceneData:
                 arrays[k] = v
         return SceneData(arrays, static)
 
+    def drop(self, *keys):
+        """Functional removal of array fields (e.g. a stale Pallas layout
+        after an on-device BVH rebuild)."""
+        arrays = {k: v for k, v in self._arrays.items() if k not in keys}
+        return SceneData(arrays, dict(self._static))
+
     @property
     def arrays(self):
         return self._arrays
@@ -99,6 +105,10 @@ class SceneBuilder:
         self._spheres = []  # (cx, cy, cz, r, mtl_id)
         self._tri_light = []  # per-face light id (-1)
         self._sph_light = []
+        self._face_obj = []  # per-face object id (-1 = world)
+        self._sph_obj = []
+        self._num_objects = 0
+        self._instances = []  # (obj_id, l2w 4x4)
         self._envmap = None
         self._bg = (0.0, 0.0, 0.0)
 
@@ -114,13 +124,29 @@ class SceneBuilder:
         transmissive material via add_material(..., medium=id)."""
         return self.media.add(**kw)
 
+    # -- objects / instances (two-level TLAS/BLAS) -------------------------
+    def create_object(self) -> int:
+        """New instanceable object; pass as obj= to geometry adds, whose
+        coordinates are then OBJECT-LOCAL (counterpart of PolygonObject +
+        instance<T>, src/libaten/geometry/instance.h)."""
+        self._num_objects += 1
+        return self._num_objects - 1
+
+    def add_instance(self, obj_id: int, l2w) -> int:
+        """Instance `obj_id` with a 4x4 local-to-world transform."""
+        assert 0 <= obj_id < self._num_objects
+        m = np.asarray(l2w, np.float32).reshape(4, 4)
+        self._instances.append((int(obj_id), m))
+        return len(self._instances) - 1
+
     # -- geometry ----------------------------------------------------------
-    def add_sphere(self, center, radius, mtl_id: int) -> int:
+    def add_sphere(self, center, radius, mtl_id: int, obj: int | None = None) -> int:
         self._spheres.append((*map(float, center), float(radius), int(mtl_id)))
         self._sph_light.append(-1)
+        self._sph_obj.append(-1 if obj is None else int(obj))
         return len(self._spheres) - 1
 
-    def add_mesh(self, pos, faces, mtl_id, nml=None, uv=None):
+    def add_mesh(self, pos, faces, mtl_id, nml=None, uv=None, obj=None):
         """Add an indexed triangle mesh. Returns (tri_start, tri_count).
 
         pos [V,3]; faces [F,3] int; mtl_id scalar or [F]; nml [V,3] or None
@@ -154,18 +180,24 @@ class SceneBuilder:
         self._vuv.extend(uv.tolist())
         mtl = np.broadcast_to(np.asarray(mtl_id, np.int64), (len(faces),))
         tri_start = len(self._faces)
+        oid = -1 if obj is None else int(obj)
         for f, m in zip(faces, mtl):
             self._faces.append((base + int(f[0]), base + int(f[1]), base + int(f[2]), int(m)))
             self._tri_light.append(-1)
+            self._face_obj.append(oid)
         return tri_start, len(faces)
 
-    def add_quad(self, p0, p1, p2, p3, mtl_id: int):
+    def add_quad(self, p0, p1, p2, p3, mtl_id: int, obj=None):
         """Two-triangle quad from 4 corners (ccw). Returns (tri_start, 2)."""
         pos = np.asarray([p0, p1, p2, p3], np.float32)
-        return self.add_mesh(pos, [[0, 1, 2], [0, 2, 3]], mtl_id)
+        return self.add_mesh(pos, [[0, 1, 2], [0, 2, 3]], mtl_id, obj=obj)
 
     # -- lights ------------------------------------------------------------
     def add_area_light_tris(self, tri_start, tri_count, le) -> int:
+        assert all(
+            self._face_obj[t] < 0 for t in range(tri_start, tri_start + tri_count)
+        ), "area lights on instanced objects are not supported (light-sampling"
+        " positions would need per-instance L2W; add the emitter as world geometry)"
         pos = np.asarray(self._vpos, np.float32)
         area = 0.0
         for t in range(tri_start, tri_start + tri_count):
@@ -263,7 +295,41 @@ class SceneBuilder:
         if num_sph > 0:
             boxes_min.append(sc - sr[:, None] - 1e-5)
             boxes_max.append(sc + sr[:, None] + 1e-5)
-        bvh = build_bvh(np.concatenate(boxes_min), np.concatenate(boxes_max))
+        all_bmin = np.concatenate(boxes_min)
+        all_bmax = np.concatenate(boxes_max)
+
+        num_instances = 0
+        if self._instances:
+            # Two-level TLAS/BLAS: group prims per object (world geometry
+            # becomes an implicit identity-instanced object), build the
+            # unified node pool (accel/tlas.py).
+            from aten_tpu.accel.tlas import build_two_level
+
+            face_obj = np.asarray(self._face_obj, np.int64) if num_tris else np.zeros(0, np.int64)
+            sph_obj = np.asarray(self._sph_obj, np.int64) if num_sph else np.zeros(0, np.int64)
+            prim_obj = np.concatenate([face_obj, sph_obj])
+            instances = list(self._instances)
+            obj_of = {}
+            next_o = 0
+            for o in range(self._num_objects):
+                obj_of[o] = next_o
+                next_o += 1
+            if (prim_obj < 0).any():
+                world_o = next_o
+                next_o += 1
+                prim_obj = np.where(prim_obj < 0, world_o, prim_obj)
+                instances.append((world_o, np.eye(4, dtype=np.float32)))
+            obj_prim_boxes = []
+            for o in range(next_o):
+                pids = np.nonzero(prim_obj == o)[0].astype(np.int32)
+                assert len(pids) > 0, f"object {o} has no geometry"
+                obj_prim_boxes.append((all_bmin[pids], all_bmax[pids], pids))
+            inst_obj = np.asarray([i[0] for i in instances], np.int32)
+            inst_l2w = np.stack([i[1] for i in instances])
+            bvh = build_two_level(obj_prim_boxes, inst_obj, inst_l2w)
+            num_instances = len(instances)
+        else:
+            bvh = build_bvh(all_bmin, all_bmax)
 
         tri_areas = tarea[:num_tris] if num_tris else np.zeros(0, np.float32)
         arrays = {
@@ -290,18 +356,19 @@ class SceneBuilder:
         for k, v in bvh.items():
             arrays[k] = jnp.asarray(v)
         # Pallas tile-traversal layout (VMEM structure-of-rows); only for
-        # scenes whose node+prim pools fit comfortably in VMEM (~<6 MB).
-        K = bvh["nodes_bmin"].shape[0]
-        P = bvh["prim_order"].shape[0]
-        pool_bytes = K * 40 + P * 60
-        if pool_bytes < 6 * 1024 * 1024:
-            from aten_tpu.ops.traverse_pallas import build_pallas_layout
+        # single-level scenes whose pools fit comfortably in VMEM (~<6 MB).
+        if num_instances == 0:
+            K = bvh["nodes_bmin"].shape[0]
+            P = bvh["prim_order"].shape[0]
+            pool_bytes = K * 40 + P * 60
+            if pool_bytes < 6 * 1024 * 1024:
+                from aten_tpu.ops.traverse_pallas import build_pallas_layout
 
-            layout = build_pallas_layout(
-                bvh, tv0, te1, te2, sc, sr, num_tris
-            )
-            for k, v in layout.items():
-                arrays[k] = jnp.asarray(v)
+                layout = build_pallas_layout(
+                    bvh, tv0, te1, te2, sc, sr, num_tris
+                )
+                for k, v in layout.items():
+                    arrays[k] = jnp.asarray(v)
         if self._envmap is not None:
             arrays.update(build_env_tables(self._envmap))
         if self.textures.images:
@@ -312,5 +379,6 @@ class SceneBuilder:
             "num_tris": num_tris,
             "num_spheres": num_sph,
             "num_lights": len(self.lights.rows),
+            "num_instances": num_instances,
         }
         return SceneData(arrays, static)
