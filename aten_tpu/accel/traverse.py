@@ -185,6 +185,7 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
         vz.astype(jnp.int32) - 1,  # best prim (-1)
         vz,  # u
         vz,  # v
+        vz.astype(jnp.int32),  # traversal step count (heatmap profiling)
     )
 
     def cond(state):
@@ -192,7 +193,8 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
         return jnp.any(cur >= 0)
 
     def body(state):
-        cur, t, prim, u, v = state
+        cur, t, prim, u, v, steps = state
+        steps = steps + (cur >= 0)
         active = cur >= 0
         curc = jnp.maximum(cur, 0)
         bmin = jnp.take(nbmin, curc, axis=0)
@@ -225,10 +227,11 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
         cur = jnp.where(active, nxt, cur)
         if any_hit:
             cur = jnp.where(prim >= 0, -1, cur)
-        return (cur, t, prim, u, v)
+        return (cur, t, prim, u, v, steps)
 
-    cur, t, prim, u, v = jax.lax.while_loop(cond, body, init)
-    return {"t": t, "prim": prim, "u": u, "v": v, "hit": prim >= 0}
+    cur, t, prim, u, v, steps = jax.lax.while_loop(cond, body, init)
+    return {"t": t, "prim": prim, "u": u, "v": v, "hit": prim >= 0,
+            "steps": steps}
 
 
 def occluded(scene, ro, rd, dist, eps=1e-3, impl="auto"):

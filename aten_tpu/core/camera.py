@@ -56,8 +56,12 @@ def generate_ray(cam_arrays, s, t):
     """Batched pinhole ray gen. s, t: [...] in [0,1). Returns (ro, rd).
 
     Mirrors pinhole::sample (camera/pinhole.h:64) — screen point on the
-    view plane at unit distance, direction normalized.
+    view plane at unit distance, direction normalized.  Dispatches on
+    the (static) pytree structure: EquirectCamera arrays route to the
+    lat-long ray gen.
     """
+    if "fwd" in cam_arrays:
+        return generate_ray_equirect(cam_arrays, s, t)
     o = cam_arrays["origin"]
     p = (
         o
@@ -105,6 +109,103 @@ def generate_ray_thinlens(cam_arrays, s, t, u1, u2):
     lens_p = o + r * (jnp.cos(phi) * right_n + jnp.sin(phi) * up_n)
     rd = vm.normalize(p - lens_p)
     return lens_p, rd
+
+
+@dataclasses.dataclass(frozen=True)
+class EquirectCamera:
+    """360-degree lat-long camera (counterpart of camera/equirect.h):
+    pixel (s,t) maps to spherical direction in the camera basis."""
+
+    origin: tuple
+    lookat: tuple
+    up: tuple = (0.0, 1.0, 0.0)
+    width: int = 1024
+    height: int = 512
+
+    def basis(self):
+        return vm.look_at(self.origin, self.lookat, self.up)
+
+    def arrays(self):
+        r, u, f = self.basis()
+        import jax.numpy as jnp
+
+        return {
+            "origin": jnp.asarray(self.origin, jnp.float32),
+            "right": jnp.asarray(r),
+            "upv": jnp.asarray(u),
+            "fwd": jnp.asarray(f),
+        }
+
+
+def generate_ray_equirect(cam_arrays, s, t):
+    """s in [0,1) -> azimuth (full turn), t in [0,1) -> polar."""
+    import jax.numpy as jnp
+
+    phi = (s - 0.5) * (2.0 * np.pi)     # [-pi, pi), 0 = forward
+    theta = (1.0 - t) * np.pi           # t=1 -> up
+    sin_t = jnp.sin(theta)
+    local = jnp.stack(
+        [sin_t * jnp.sin(phi), jnp.cos(theta), sin_t * jnp.cos(phi)], axis=-1
+    )
+    rd = (
+        local[..., 0:1] * cam_arrays["right"]
+        + local[..., 1:2] * cam_arrays["upv"]
+        + local[..., 2:3] * cam_arrays["fwd"]
+    )
+    ro = jnp.broadcast_to(cam_arrays["origin"], rd.shape)
+    return ro, vm.normalize(rd)
+
+
+class CameraOperator:
+    """Interactive orbit/dolly/rotate controls over a PinholeCamera
+    (counterpart of camera/CameraOperator.{h,cpp}).  Functional: every
+    op returns a NEW camera dataclass."""
+
+    @staticmethod
+    def dolly(cam, amount):
+        eye = np.asarray(cam.origin, np.float32)
+        at = np.asarray(cam.lookat, np.float32)
+        f = at - eye
+        d = np.linalg.norm(f)
+        f = f / max(d, 1e-9)
+        step = min(amount, d - 1e-3) if amount > 0 else amount
+        return dataclasses.replace(cam, origin=tuple(eye + f * step))
+
+    @staticmethod
+    def orbit(cam, yaw, pitch):
+        """Rotate the eye around the lookat point (radians)."""
+        eye = np.asarray(cam.origin, np.float32)
+        at = np.asarray(cam.lookat, np.float32)
+        up = np.asarray(cam.up, np.float32)
+        v = eye - at
+        r = np.linalg.norm(v)
+        upn = up / np.linalg.norm(up)
+        # horizontal frame (a, b) spanning the plane orthogonal to up
+        seed = np.array([0.0, 0.0, 1.0], np.float32)
+        if abs(np.dot(seed, upn)) > 0.99:
+            seed = np.array([1.0, 0.0, 0.0], np.float32)
+        b = seed - np.dot(seed, upn) * upn
+        b /= np.linalg.norm(b)
+        a = np.cross(upn, b)
+        y = np.dot(v, upn)
+        az = np.arctan2(np.dot(v, a), np.dot(v, b))
+        el = np.arctan2(y, max(np.linalg.norm(v - y * upn), 1e-9))
+        az += yaw
+        el = np.clip(el + pitch, -1.55, 1.55)
+        nh = r * np.cos(el)
+        v_new = nh * (np.sin(az) * a + np.cos(az) * b) + r * np.sin(el) * upn
+        return dataclasses.replace(cam, origin=tuple(at + v_new))
+
+    @staticmethod
+    def pan(cam, dx, dy):
+        """Translate eye and lookat in the view plane."""
+        r, u, f = cam.basis()
+        off = r * dx + u * dy
+        return dataclasses.replace(
+            cam,
+            origin=tuple(np.asarray(cam.origin) + off),
+            lookat=tuple(np.asarray(cam.lookat) + off),
+        )
 
 
 def camera_matrices(cam: PinholeCamera):

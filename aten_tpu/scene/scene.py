@@ -243,7 +243,15 @@ class SceneBuilder:
         self._bg = tuple(float(c) for c in color)
 
     # -- freeze ------------------------------------------------------------
-    def build(self) -> SceneData:
+    def build(self, bvh_cache: str | None = None) -> SceneData:
+        """Freeze into SceneData.  bvh_cache: optional .npz produced by
+        `python -m aten_tpu.cli.bvh_builder` (the SbvhBuilder-tool
+        import path, accelerator.h:158-176); used when its primitive
+        count matches, else the BVH is rebuilt."""
+        self._bvh_cache = bvh_cache
+        return self._build()
+
+    def _build(self) -> SceneData:
         vpos = np.asarray(self._vpos, np.float32).reshape(-1, 3)
         vnml = np.asarray(self._vnml, np.float32).reshape(-1, 3)
         vuv = np.asarray(self._vuv, np.float32).reshape(-1, 2)
@@ -329,7 +337,17 @@ class SceneBuilder:
             bvh = build_two_level(obj_prim_boxes, inst_obj, inst_l2w)
             num_instances = len(instances)
         else:
-            bvh = build_bvh(all_bmin, all_bmax)
+            bvh = None
+            cache = getattr(self, "_bvh_cache", None)
+            if cache:
+                import os
+
+                if os.path.exists(cache):
+                    with np.load(cache) as z:
+                        if z["prim_order"].shape[0] == all_bmin.shape[0]:
+                            bvh = {k: z[k] for k in z.files}
+            if bvh is None:
+                bvh = build_bvh(all_bmin, all_bmax)
 
         tri_areas = tarea[:num_tris] if num_tris else np.zeros(0, np.float32)
         arrays = {

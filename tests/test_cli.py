@@ -1,0 +1,131 @@
+"""CLI tools (aten_tpu/cli): render, bvh_builder, envmap_converter,
+bump2normal, obj_tool."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from aten_tpu.io.image import load_image, save_image
+
+
+@pytest.fixture
+def quad_obj(tmp_path):
+    p = tmp_path / "quad.obj"
+    p.write_text(
+        "v 0 0 0\nv 1 0 0\nv 1 1 0\nv 0 1 0\n"
+        "usemtl a\nf 1 2 3\nusemtl b\nf 1 3 4\n"
+    )
+    return str(p)
+
+
+def test_render_cli_pt(tmp_path):
+    from aten_tpu.cli.render import main
+
+    out = str(tmp_path / "img.png")
+    rc = main([
+        "--scene", "cornell", "--width", "24", "--height", "24",
+        "--spp", "2", "--max-depth", "3", "-o", out,
+    ])
+    assert rc == 0 and os.path.exists(out)
+    img = load_image(out)
+    assert img.shape == (24, 24, 3)
+    assert img.max() > 0
+
+
+def test_render_cli_checkpoint_resume(tmp_path):
+    from aten_tpu.cli.render import main
+
+    out = str(tmp_path / "img.png")
+    ck = str(tmp_path / "st.npz")
+    main(["--scene", "cornell", "--width", "16", "--height", "16",
+          "--spp", "1", "-o", out, "--checkpoint", ck])
+    assert os.path.exists(ck)
+    rc = main(["--scene", "cornell", "--width", "16", "--height", "16",
+               "--spp", "1", "-o", out, "--checkpoint", ck])
+    assert rc == 0
+
+
+def test_render_cli_obj_and_ao(tmp_path, quad_obj):
+    from aten_tpu.cli.render import main
+
+    out = str(tmp_path / "ao.png")
+    rc = main(["--obj", quad_obj, "--integrator", "ao",
+               "--width", "16", "--height", "16", "--spp", "1", "-o", out])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_bvh_builder_cache_roundtrip(tmp_path, quad_obj):
+    from aten_tpu.cli.bvh_builder import main
+    from aten_tpu.scene.objloader import load_obj
+    from aten_tpu.scene.scene import SceneBuilder
+
+    cache = str(tmp_path / "quad.bvh.npz")
+    assert main([quad_obj, "-o", cache]) == 0
+    with np.load(cache) as z:
+        assert z["prim_order"].shape[0] == 2
+
+    sb = SceneBuilder()
+    load_obj(sb, quad_obj)
+    scene = sb.build(bvh_cache=cache)
+    assert scene["num_tris"] == 2
+
+
+def test_envmap_converter(tmp_path):
+    from aten_tpu.cli.envmap_converter import main
+    from aten_tpu.io.hdr import write_hdr
+
+    src = str(tmp_path / "in.hdr")
+    # gradient equirect: top bright, bottom dark
+    H, W = 32, 64
+    img = np.tile(
+        np.linspace(2.0, 0.1, H, dtype=np.float32)[:, None, None], (1, W, 3)
+    )
+    write_hdr(src, img)
+    out = str(tmp_path / "cross.hdr")
+    assert main([src, "-o", out, "--to", "cross", "--width", "16"]) == 0
+    cross = load_image(out)
+    assert cross.shape == (64, 48, 3)
+    s = 16
+    top = cross[0 * s : 1 * s, s : 2 * s]     # +y face
+    bot = cross[2 * s : 3 * s, s : 2 * s]     # -y face
+    assert top.mean() > bot.mean() * 2        # sky brighter than ground
+
+    # mirrorball -> equirect smoke
+    out2 = str(tmp_path / "eq.hdr")
+    assert main([src, "-o", out2, "--from", "mirrorball",
+                 "--to", "equirect", "--width", "32"]) == 0
+    assert load_image(out2).shape == (16, 32, 3)
+
+
+def test_bump2normal(tmp_path):
+    from aten_tpu.cli.bump2normal import bump_to_normal, main
+
+    # analytic ramp: height rises along +x -> normal tilts to -x
+    h = np.tile(np.linspace(0, 1, 32, dtype=np.float32), (32, 1))
+    n = bump_to_normal(h, scale=4.0) * 2.0 - 1.0
+    assert (n[8, 8:24, 0] < -0.05).all()
+    assert (n[..., 2] > 0).all()
+
+    src = str(tmp_path / "h.png")
+    save_image(src, np.stack([h, h, h], -1))
+    out = str(tmp_path / "n.png")
+    assert main([src, "-o", out, "--scale", "2"]) == 0
+    nm = load_image(out, srgb_to_linear=False)
+    assert nm.shape == (32, 32, 3)
+    assert nm[..., 2].mean() > 0.6  # mostly-up normals encode near blue
+
+
+def test_obj_tool_combine_separate(tmp_path, quad_obj):
+    from aten_tpu.cli.obj_tool import main
+
+    merged = str(tmp_path / "merged.obj")
+    assert main(["combine", quad_obj, quad_obj, "-o", merged]) == 0
+    txt = open(merged).read()
+    assert txt.count("\nv ") + txt.startswith("v ") == 8
+    assert "usemtl" in txt
+
+    outdir = str(tmp_path / "sep")
+    assert main(["separate", quad_obj, "-o", outdir]) == 0
+    files = sorted(os.listdir(outdir))
+    assert files == ["quad_a.obj", "quad_b.obj"]

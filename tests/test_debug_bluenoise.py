@@ -1,0 +1,104 @@
+"""Observability tooling (utils/debug.py) + blue-noise sampler."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aten_tpu.core.bluenoise import BlueNoiseSampler, get_masks, make_blue_noise
+from aten_tpu.utils.debug import (
+    aov_debug_image, pick_pixel, temperature, traversal_heatmap,
+)
+
+
+@pytest.fixture(scope="module")
+def cornell_frame():
+    from aten_tpu.integrator.pathtracer import render_sample_with_aovs
+    from aten_tpu.scene.scenedefs import cornell_box
+
+    scene, cam = cornell_box(32, 32)
+    img, aovs = render_sample_with_aovs(
+        scene, cam.arrays(), 32, 32, jnp.uint32(0), jnp.uint32(0), 1, 3, 2
+    )
+    return scene, cam, img, aovs
+
+
+def test_aov_debug_views(cornell_frame):
+    _, _, img, aovs = cornell_frame
+    for mode in ("normal", "depth", "albedo", "prim_id", "mtl_id", "position"):
+        v = np.asarray(aov_debug_image(aovs, mode))
+        assert v.shape == (32, 32, 3)
+        assert np.isfinite(v).all()
+        assert v.min() >= -1e-6 and v.max() <= 1.0 + 1e-6
+    with pytest.raises(ValueError):
+        aov_debug_image(aovs, "nope")
+
+
+def test_pick_pixel(cornell_frame):
+    _, _, img, aovs = cornell_frame
+    info = pick_pixel(img, aovs, 16, 16)
+    assert info["prim_id"] >= 0  # center of cornell box hits something
+    assert info["depth"] > 0
+    assert np.linalg.norm(info["normal"]) == pytest.approx(1.0, abs=1e-3)
+
+
+def test_temperature_ramp():
+    x = jnp.linspace(0, 1, 11)
+    c = np.asarray(temperature(x))
+    np.testing.assert_allclose(c[0], [0, 0, 1], atol=1e-6)   # cold = blue
+    np.testing.assert_allclose(c[-1], [1, 0, 0], atol=1e-6)  # hot = red
+    assert (c >= 0).all() and (c <= 1).all()
+
+
+def test_traversal_heatmap():
+    """Steps counted by the threaded traversal produce a finite heatmap
+    (needs a BVH-path scene: >512 prims)."""
+    from aten_tpu.core import camera as cam_mod
+    from aten_tpu.scene.materials import MaterialType
+    from aten_tpu.scene.scene import SceneBuilder
+
+    rng = np.random.default_rng(0)
+    sb = SceneBuilder()
+    m = sb.add_material(MaterialType.DIFFUSE, base_color=(0.5, 0.5, 0.5))
+    pts = rng.uniform(-3, 3, (600 * 3, 3)).astype(np.float32)
+    sb.add_mesh(pts, np.arange(600 * 3).reshape(-1, 3), m)
+    scene = sb.build()
+    from aten_tpu.core.camera import PinholeCamera
+
+    cam = PinholeCamera(origin=(0, 0, 10), lookat=(0, 0, 0), width=16, height=16)
+    ca = cam.arrays()
+    lpix = jnp.arange(16 * 16)
+    s = ((lpix % 16).astype(jnp.float32) + 0.5) / 16
+    t = ((lpix // 16).astype(jnp.float32) + 0.5) / 16
+    ro, rd = cam_mod.generate_ray(ca, s, t)
+    hm = np.asarray(traversal_heatmap(scene, ro, rd, 16, 16))
+    assert hm.shape == (16, 16, 3)
+    assert np.isfinite(hm).all()
+    assert hm.std() > 0  # non-constant cost across the screen
+
+
+def test_blue_noise_spectrum_and_coverage():
+    r = make_blue_noise(32, seed=1)
+    n = 32 * 32
+    # rank matrix is a permutation of 0..n-1
+    assert sorted(r.ravel().tolist()) == list(range(n))
+    m = (r + 0.5) / n
+    f = np.abs(np.fft.fftshift(np.fft.fft2(m - m.mean()))) ** 2
+    c = 16
+    yy, xx = np.mgrid[0:32, 0:32]
+    rad = np.hypot(yy - c, xx - c)
+    low = f[(rad < 3) & (rad > 0)].mean()
+    high = f[(rad > 10) & (rad < 15)].mean()
+    assert low < 0.2 * high  # blue: low frequencies suppressed
+
+
+def test_blue_noise_sampler_streams(tmp_path):
+    masks = get_masks(32, 2, cache=str(tmp_path / "bn_{size}x{layers}.npz"))
+    assert masks.shape == (2, 32, 32)
+    s = BlueNoiseSampler(32, 2)
+    px = jnp.arange(64) % 32
+    py = jnp.arange(64) // 32
+    v0 = np.asarray(s.sample(px, py, jnp.uint32(0), jnp.uint32(0)))
+    v1 = np.asarray(s.sample(px, py, jnp.uint32(1), jnp.uint32(0)))
+    assert ((v0 >= 0) & (v0 < 1)).all()
+    assert not np.allclose(v0, v1)  # frames decorrelated
+    a, b = s.sample2d(px, py, jnp.uint32(0), jnp.uint32(2))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
