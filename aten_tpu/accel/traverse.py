@@ -238,7 +238,48 @@ def occluded(scene, ro, rd, dist, eps=1e-3, impl="auto"):
     """Shadow-ray visibility: True where something blocks [eps, dist-eps].
 
     Counterpart of HitTestToTargetLight (pathtracing_impl.h:266-351)
-    without the alpha punch-through loop (layered on by the integrator).
+    without the alpha punch-through loop (see occlusion_alpha).
     """
     res = traverse(scene, ro, rd, t_max=dist - eps, any_hit=True, t_min=eps, impl=impl)
     return res["hit"]
+
+
+def occlusion_alpha(scene, ro, rd, dist, eps=1e-3, max_hits=4, impl="auto"):
+    """Shadow occlusion THROUGH alpha-translucent surfaces: walks up to
+    max_hits closest hits, multiplying (1 - alpha) per surface —
+    HitTestToTargetLight's bounded punch-through loop
+    (pathtracing_impl.h:266-351, max_lookups 10 capped here at 4 closest
+    walks since each is a full traversal).  Material alpha only (the
+    reference also reads the albedo-map alpha; shadow rays here skip the
+    texture fetch).  Returns occlusion in [0,1]; 0 = fully visible.
+    """
+    from aten_tpu.scene.materials import gather_material
+
+    trans = jnp.ones(ro.shape[0], jnp.float32)
+    cur_ro = ro
+    remaining = jnp.broadcast_to(
+        jnp.asarray(dist, jnp.float32), (ro.shape[0],)
+    ) - eps
+    active = remaining > 0
+    num_tris = scene["num_tris"]
+    for _ in range(max_hits):
+        res = traverse(
+            scene, cur_ro, rd, t_max=remaining, any_hit=False, t_min=eps,
+            impl=impl,
+        )
+        hit = res["hit"] & active
+        prim = jnp.maximum(res["prim"], 0)
+        is_tri = res["prim"] < num_tris
+        mtl = jnp.where(
+            is_tri,
+            jnp.take(scene["tri_mtl"], jnp.clip(prim, 0, scene["tri_mtl"].shape[0] - 1)),
+            jnp.take(scene["sph_mtl"], jnp.clip(prim - num_tris, 0, scene["sph_mtl"].shape[0] - 1)),
+        )
+        a = gather_material(scene["materials"], mtl)["alpha"]
+        trans = jnp.where(hit, trans * (1.0 - a), trans)
+        # advance past the hit; stop lanes blocked by opaque surfaces
+        t_adv = jnp.where(hit, res["t"] + eps, 0.0)
+        cur_ro = cur_ro + t_adv[..., None] * rd
+        remaining = remaining - t_adv
+        active = hit & (trans > 1e-4) & (remaining > 0)
+    return 1.0 - trans

@@ -148,7 +148,15 @@ def _trace_paths(
     pdf_prev = jnp.ones((N,), jnp.float32) + vz
     prev_singular = vz == 0.0  # bounce 0: full weight on emitters
 
-    occluded_fn = lambda o, d, dist: occluded(scene, o, d, dist)
+    # Alpha-translucent scenes route shadow rays through the bounded
+    # punch-through transmittance walk (HitTestToTargetLight's alpha
+    # loop); opaque scenes keep the cheaper binary any-hit.
+    if scene.get("has_alpha"):
+        from aten_tpu.accel.traverse import occlusion_alpha
+
+        occluded_fn = lambda o, d, dist: occlusion_alpha(scene, o, d, dist)
+    else:
+        occluded_fn = lambda o, d, dist: occluded(scene, o, d, dist)
 
     aovs = {
         "normal": jnp.zeros((N, 3), jnp.float32) + vz[..., None],
@@ -199,6 +207,24 @@ def _trace_paths(
             miss[..., None], throughput * le_bg * w_bg[..., None], 0.0
         )
 
+        # ---- per-bounce sampler re-seed (reference bounce-dim offset);
+        # created before shading so alpha punch-through can draw from it
+        state = smp.make_state(pixel_seed, frame, sample, spp, bounce=bounce + 1)
+
+        # ---- translucent-by-alpha punch-through
+        # (CheckMaterialTranslucentByAlpha, pathtracing_impl.h:511-610):
+        # with probability 1 - alpha the surface is skipped — the ray
+        # continues straight through, keeping its MIS state.  Stochastic
+        # (one ray, unbiased) instead of the reference's accumulated
+        # alpha blend; the bounce budget bounds punch-throughs like the
+        # reference's max_lookups=10.
+        if scene.get("has_alpha"):
+            u_alpha, state = smp.next_1d(state)
+            a_eff = mat["alpha"] * mat.get("tex_alpha", 1.0)
+            punch = alive & hit["hit"] & (u_alpha >= a_eff)
+        else:
+            punch = jnp.zeros_like(alive)
+
         # ---- implicit emitter hit (HitImplicitLight)
         is_emis = mat["type"] == MaterialType.EMISSIVE
         cos_l = vm.dot(h["ng"], -rd, keepdims=False)
@@ -210,14 +236,11 @@ def _trace_paths(
         # only front side emits
         front = cos_l > 0.0
         radiance = radiance + jnp.where(
-            (hit_emit & front)[..., None],
+            (hit_emit & front & ~punch)[..., None],
             throughput * mat["base_color"] * w_imp[..., None],
             0.0,
         )
-        alive = alive & hit["hit"] & ~is_emis
-
-        # ---- per-bounce sampler re-seed (reference bounce-dim offset)
-        state = smp.make_state(pixel_seed, frame, sample, spp, bounce=bounce + 1)
+        alive = alive & hit["hit"] & (~is_emis | punch)
 
         wo = -rd
         # ---- NEE (skipped for singular BSDFs)
@@ -227,7 +250,7 @@ def _trace_paths(
         is_singular_mat = (mat["type"] == MaterialType.SPECULAR) | (
             mat["type"] == MaterialType.REFRACTION
         )
-        nee_ok = alive & ~is_singular_mat
+        nee_ok = alive & ~is_singular_mat & ~punch
         radiance = radiance + jnp.where(nee_ok[..., None], throughput * contrib, 0.0)
 
         # ---- russian roulette (ComputeRussianProbability); the survival
@@ -252,18 +275,25 @@ def _trace_paths(
         pdf_det = jax.lax.stop_gradient(jnp.maximum(samp["pdf"], 1e-9))
         weight = samp["bsdf"] * (cos_wi / pdf_det)[..., None]
         throughput = jnp.where(
-            (alive & good)[..., None], throughput * weight, throughput
+            (alive & good & ~punch)[..., None], throughput * weight, throughput
         )
-        alive = alive & good
+        alive = alive & (good | punch)
 
         # Detached sampling (SURVEY.md §7 differentiability design): the
         # sampled direction is treated as a constant under AD; parameter
         # gradients flow through bsdf/pdf VALUES, not through the warp.
         off_n = jnp.where(samp["transmission"][..., None], -n_or, n_or)
-        ro = jax.lax.stop_gradient(h["p"] + off_n * 1e-3)
-        rd = jax.lax.stop_gradient(samp["wi"])
-        pdf_prev = samp["pdf"]
-        prev_singular = samp["singular"]
+        ro_next = jax.lax.stop_gradient(h["p"] + off_n * 1e-3)
+        # punch-through lanes continue STRAIGHT through the surface,
+        # keeping direction and MIS state
+        ro = jnp.where(
+            punch[..., None],
+            jax.lax.stop_gradient(h["p"] + rd * 1e-3),
+            ro_next,
+        )
+        rd = jnp.where(punch[..., None], rd, jax.lax.stop_gradient(samp["wi"]))
+        pdf_prev = jnp.where(punch, pdf_prev, samp["pdf"])
+        prev_singular = jnp.where(punch, prev_singular, samp["singular"])
         return (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, aovs), None
 
     carry = (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, aovs)

@@ -38,6 +38,7 @@ SINGULAR_TYPES = (MaterialType.SPECULAR, MaterialType.REFRACTION)
 TRANSMISSIVE_TYPES = (MaterialType.REFRACTION, MaterialType.MICROFACET_REFRACTION)
 
 _SCALAR_FIELDS = dict(
+    alpha=1.0,  # opacity; <1 enables translucent-by-alpha punch-through
     roughness=0.25,
     ior=1.5,
     shininess=1.0,

@@ -398,5 +398,8 @@ class SceneBuilder:
             "num_spheres": num_sph,
             "num_lights": len(self.lights.rows),
             "num_instances": num_instances,
+            # any alpha<1 material switches shadow rays to the
+            # transmittance walk and enables primary punch-through
+            "has_alpha": any(r["alpha"] < 1.0 for r in self.materials.rows),
         }
         return SceneData(arrays, static)

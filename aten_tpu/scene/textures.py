@@ -31,7 +31,7 @@ class TextureTable:
         self.images.append(img)
         return len(self.images) - 1
 
-    def arrays(self):
+    def arrays(self, mipmap=True):
         if not self.images:
             return {
                 "tex_stack": jnp.ones((1, 1, 1, 4), jnp.float32),
@@ -45,19 +45,33 @@ class TextureTable:
             h, w = img.shape[:2]
             stack[t, :h, :w] = img
             size[t] = (h, w)
-        return {"tex_stack": jnp.asarray(stack), "tex_size": jnp.asarray(size)}
+        out = {"tex_stack": jnp.asarray(stack), "tex_size": jnp.asarray(size)}
+        if mipmap and min(mh, mw) >= 2:
+            # Mip chain by 2x2 box reduction of the padded stack
+            # (GenMipMaps counterpart, src/libidaten/kernel/GenMipMaps.cu;
+            # the CUDA path samples them through tex2DLod).
+            level = stack
+            l = 1
+            while min(level.shape[1], level.shape[2]) >= 2:
+                h2, w2 = level.shape[1] // 2, level.shape[2] // 2
+                level = level[:, : 2 * h2, : 2 * w2].reshape(
+                    len(self.images), h2, 2, w2, 2, 4
+                ).mean(axis=(2, 4))
+                out[f"tex_mip{l}"] = jnp.asarray(level)
+                l += 1
+        return out
 
 
-def sample_texture(tex, tex_id, u, v, default=1.0):
-    """Bilinear wrap-addressed fetch. tex_id: int32 [N] (-1 -> default).
-    Returns rgba [N, 4]."""
-    stack = tex["tex_stack"]
-    size = tex["tex_size"]
-    T = stack.shape[0]
-    tid = jnp.clip(tex_id, 0, T - 1)
-    h = jnp.take(size[:, 0], tid).astype(jnp.float32)
-    w = jnp.take(size[:, 1], tid).astype(jnp.float32)
-    # wrap addressing; v flipped (image row 0 = top, uv origin bottom-left)
+def num_mip_levels(scene):
+    """Mip count from (static) key structure; 1 = base level only."""
+    l = 1
+    while f"tex_mip{l}" in scene:
+        l += 1
+    return l
+
+
+def _bilinear(stack, tid, h, w, u, v):
+    """Bilinear wrap-addressed fetch from one stacked level."""
     uu = jnp.mod(u, 1.0)
     vv = jnp.mod(1.0 - jnp.mod(v, 1.0), 1.0)
     x = uu * w - 0.5
@@ -72,14 +86,78 @@ def sample_texture(tex, tex_id, u, v, default=1.0):
         yi = jnp.mod(yi, jnp.maximum(h, 1.0)).astype(jnp.int32)
         return stack[tid, yi, xi]
 
-    c = (
+    return (
         fetch(x0, y0) * (1 - fx) * (1 - fy)
         + fetch(x0 + 1, y0) * fx * (1 - fy)
         + fetch(x0, y0 + 1) * (1 - fx) * fy
         + fetch(x0 + 1, y0 + 1) * fx * fy
     )
+
+
+def sample_texture(tex, tex_id, u, v, default=1.0):
+    """Bilinear wrap-addressed fetch. tex_id: int32 [N] (-1 -> default).
+    Returns rgba [N, 4].  Level 0 only; see sample_texture_lod."""
+    stack = tex["tex_stack"]
+    size = tex["tex_size"]
+    T = stack.shape[0]
+    tid = jnp.clip(tex_id, 0, T - 1)
+    h = jnp.take(size[:, 0], tid).astype(jnp.float32)
+    w = jnp.take(size[:, 1], tid).astype(jnp.float32)
+    c = _bilinear(stack, tid, h, w, u, v)
     has = (tex_id >= 0)[..., None]
     return jnp.where(has, c, jnp.full_like(c, default))
+
+
+def sample_texture_lod(tex, tex_id, u, v, lod, default=1.0):
+    """Trilinear fetch: bilinear at floor(lod)/ceil(lod) mip levels,
+    blended — the tex2DLod counterpart (sample_texture.h:17-61 device
+    branch).  lod is per-lane float (0 = base); scenes built without
+    mipmaps fall back to level 0."""
+    L = num_mip_levels(tex)
+    if L <= 1:
+        return sample_texture(tex, tex_id, u, v, default)
+    stack0 = tex["tex_stack"]
+    size = tex["tex_size"]
+    T = stack0.shape[0]
+    tid = jnp.clip(tex_id, 0, T - 1)
+    h0 = jnp.take(size[:, 0], tid).astype(jnp.float32)
+    w0 = jnp.take(size[:, 1], tid).astype(jnp.float32)
+    lod = jnp.clip(lod, 0.0, L - 1.0)
+    l0 = jnp.floor(lod)
+    frac = (lod - l0)[..., None]
+
+    # gather each level's bilinear result, then select the two needed —
+    # levels are distinct array shapes (static), so select not gather.
+    levels = [stack0] + [tex[f"tex_mip{l}"] for l in range(1, L)]
+    c_by_level = []
+    for l, st in enumerate(levels):
+        hl = jnp.maximum(jnp.floor(h0 / (1 << l)), 1.0)
+        wl = jnp.maximum(jnp.floor(w0 / (1 << l)), 1.0)
+        c_by_level.append(_bilinear(st, tid, hl, wl, u, v))
+    stackc = jnp.stack(c_by_level, axis=0)  # [L, N, 4]
+    idx0 = l0.astype(jnp.int32)
+    idx1 = jnp.minimum(idx0 + 1, L - 1)
+
+    def sel(idx):
+        ii = jnp.broadcast_to(idx[None, :, None], (1,) + stackc.shape[1:])
+        return jnp.take_along_axis(stackc, ii, axis=0)[0]
+
+    c = sel(idx0) * (1 - frac) + sel(idx1) * frac
+    has = (tex_id >= 0)[..., None]
+    return jnp.where(has, c, jnp.full_like(c, default))
+
+
+def footprint_lod(tex, tex_id, t, pixel_spread):
+    """Isotropic LOD estimate from hit distance: footprint ~= t *
+    pixel_spread (world units per pixel at distance t); lod =
+    log2(footprint * texsize).  The reference relies on tex2DLod with
+    caller-provided lod; this is the ray-differential-free estimate."""
+    size = tex["tex_size"]
+    T = size.shape[0]
+    tid = jnp.clip(tex_id, 0, T - 1)
+    wmax = jnp.take(jnp.maximum(size[:, 0], size[:, 1]), tid).astype(jnp.float32)
+    fp = jnp.maximum(t * pixel_spread, 1e-8)
+    return jnp.maximum(jnp.log2(fp * wmax), 0.0)
 
 
 def apply_albedo(scene, mat, uv):
@@ -92,6 +170,7 @@ def apply_albedo(scene, mat, uv):
     )
     mat = dict(mat)
     mat["base_color"] = mat["base_color"] * rgba[..., :3]
+    mat["tex_alpha"] = rgba[..., 3]
     return mat
 
 

@@ -86,12 +86,14 @@ def nee_contribution(scene, mat, p, ns, wo, state, occluded_fn):
     contrib = jnp.where(ls["area_measure"][..., None], c_area, c_solid)
     contrib = jnp.where(ls["singular"][..., None], c_sing, contrib)
 
-    # Facing test + shadow ray.
+    # Facing test + shadow ray.  occluded_fn may return a bool mask
+    # (binary any-hit) or a float occlusion in [0,1] (alpha
+    # punch-through transmittance, occlusion_alpha).
     facing = (cos_s > 0.0) & (ls["singular"] | ls["infinite"] | (cos_l > 0.0))
     ng_eps = brdf_mod.orient_normal(ns, wo) * 1e-3
-    blocked = occluded_fn(p + ng_eps, wi, ls["dist"])
-    visible = facing & ~blocked
-    return jnp.where(visible[..., None], contrib, 0.0), state
+    occ = occluded_fn(p + ng_eps, wi, ls["dist"]).astype(jnp.float32)
+    vis = jnp.where(facing, 1.0 - occ, 0.0)
+    return contrib * vis[..., None], state
 
 
 def implicit_light_weight(scene, hit_light_id, pdf_prev, prev_singular, t_dist, cos_l):

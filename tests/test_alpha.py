@@ -1,0 +1,84 @@
+"""Translucent-by-alpha: stochastic punch-through + shadow transmittance
+(CheckMaterialTranslucentByAlpha / HitTestToTargetLight alpha loop)."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from aten_tpu.accel.traverse import occlusion_alpha
+from aten_tpu.core.camera import PinholeCamera
+from aten_tpu.integrator.pathtracer import render_sample
+from aten_tpu.scene.materials import MaterialType
+from aten_tpu.scene.scene import SceneBuilder
+
+
+def _veil_scene(alpha):
+    """Emissive wall at z=-2 seen through a full-screen veil at z=0."""
+    sb = SceneBuilder()
+    lm = sb.add_material(MaterialType.EMISSIVE, base_color=(1.0, 1.0, 1.0))
+    veil = sb.add_material(
+        MaterialType.DIFFUSE, base_color=(0.0, 0.0, 0.0), alpha=alpha
+    )
+    sb.add_quad((-9, -9, -2), (9, -9, -2), (9, 9, -2), (-9, 9, -2), lm)
+    sb.add_quad((-9, -9, 0), (9, -9, 0), (9, 9, 0), (-9, 9, 0), veil)
+    sc = sb.build()
+    cam = PinholeCamera(origin=(0, 0, 4), lookat=(0, 0, 0), vfov_deg=30,
+                        width=32, height=32)
+    return sc, cam
+
+
+def _mean_radiance(sc, cam, spp=64):
+    acc = 0.0
+    for s in range(spp):
+        acc = acc + render_sample(
+            sc, cam.arrays(), cam.width, cam.height,
+            jnp.uint32(0), jnp.uint32(s), spp, 3, 5,
+        )
+    return float(jnp.mean(acc / spp))
+
+
+def test_punch_through_transmits_fraction():
+    """A black veil with alpha a in front of a unit emitter: mean image
+    ~ (1 - a) (punched-through lanes see the emitter, others shade the
+    black veil)."""
+    sc_half, cam = _veil_scene(0.5)
+    m_half = _mean_radiance(sc_half, cam)
+    sc_opaque, _ = _veil_scene(1.0)
+    m_opaque = _mean_radiance(sc_opaque, cam)
+    sc_clear, _ = _veil_scene(0.0)
+    m_clear = _mean_radiance(sc_clear, cam)
+    assert m_clear == pytest.approx(1.0, abs=0.02)
+    assert m_opaque == pytest.approx(0.0, abs=0.02)
+    assert m_half == pytest.approx(0.5, abs=0.06)
+
+
+def test_occlusion_alpha_transmittance():
+    """Shadow walk through stacked veils multiplies (1 - alpha)."""
+    sb = SceneBuilder()
+    a1 = sb.add_material(MaterialType.DIFFUSE, base_color=(1, 1, 1), alpha=0.5)
+    a2 = sb.add_material(MaterialType.DIFFUSE, base_color=(1, 1, 1), alpha=0.25)
+    sb.add_quad((-5, -5, 0), (5, -5, 0), (5, 5, 0), (-5, 5, 0), a1)
+    sb.add_quad((-5, -5, 1), (5, -5, 1), (5, 5, 1), (-5, 5, 1), a2)
+    sc = sb.build()
+    ro = jnp.asarray([[0.0, 0.0, 3.0], [8.0, 0.0, 3.0]], jnp.float32)
+    rd = jnp.asarray([[0.0, 0.0, -1.0], [0.0, 0.0, -1.0]], jnp.float32)
+    occ = np.asarray(occlusion_alpha(sc, ro, rd, jnp.asarray([6.0, 6.0])))
+    # through both veils: trans = 0.5 * 0.75 = 0.375 -> occ = 0.625
+    np.testing.assert_allclose(occ[0], 0.625, atol=1e-5)
+    np.testing.assert_allclose(occ[1], 0.0, atol=1e-6)  # misses everything
+
+
+def test_opaque_scene_stream_unchanged():
+    """Scenes without alpha must not consume the extra sampler draw
+    (has_alpha=False keeps the original sample stream)."""
+    sb = SceneBuilder()
+    m = sb.add_material(MaterialType.DIFFUSE, base_color=(0.5, 0.5, 0.5))
+    lm = sb.add_material(MaterialType.EMISSIVE, base_color=(4, 4, 4))
+    sb.add_quad((-3, 0, -3), (3, 0, -3), (3, 0, 3), (-3, 0, 3), m)
+    ls, lc = sb.add_quad((-1, 4, -1), (1, 4, -1), (1, 4, 1), (-1, 4, 1), lm)
+    sb.add_area_light_tris(ls, lc, (4, 4, 4))
+    sc = sb.build()
+    assert sc["has_alpha"] is False
+    cam = PinholeCamera(origin=(0, 2, 6), lookat=(0, 0, 0), width=16, height=16)
+    img = render_sample(sc, cam.arrays(), 16, 16, jnp.uint32(0),
+                        jnp.uint32(0), 1, 3, 2)
+    assert bool(jnp.isfinite(img).all())
