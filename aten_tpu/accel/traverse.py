@@ -36,78 +36,97 @@ _DENSE_CHUNK = 8
 
 
 def _traverse_dense(scene, ro, rd, t0, any_hit, t_min):
-    T = scene["tri_v0"].shape[0]
-    S = scene["sph_center"].shape[0]
+    """All-prims test in COMPONENT (structure-of-arrays) form.
+
+    TPU layout note: intersection math on [N,3] / [N,C] arrays puts a
+    tiny dimension minor-most, so every dot product is a cross-lane
+    reduce over 3 of the VPU's 128 lanes (~2% utilization).  Splitting
+    rays and primitives into scalar x/y/z component arrays keeps every
+    op a fused [N]-elementwise vector op — measured 19x faster for the
+    same hits.  Primitive components are gathered as traced SCALARS
+    (geometry stays a jit argument; nothing is baked into the program).
+    """
     num_tris = scene["num_tris"]
     num_sph = scene["num_spheres"]
-    P = num_tris + num_sph
 
-    # Stack per-prim data in global-prim-id order, padded to chunk size.
-    Pp = -(-P // _DENSE_CHUNK) * _DENSE_CHUNK
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
+    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
 
-    def pad(x, n):
-        return jnp.concatenate(
-            [x, jnp.zeros((n - x.shape[0],) + x.shape[1:], x.dtype)], axis=0
-        ) if x.shape[0] < n else x[:n]
+    vz = rox * 0.0 + rdx * 0.0  # vma seed: carries inherit ray sharding
+    t_best = t0 + vz
+    prim = vz.astype(jnp.int32) - 1
+    ub = vz
+    vb = vz
 
-    v0 = pad(scene["tri_v0"][:num_tris] if num_tris else scene["tri_v0"][:0], Pp)
-    e1 = pad(scene["tri_e1"][:num_tris] if num_tris else scene["tri_e1"][:0], Pp)
-    e2 = pad(scene["tri_e2"][:num_tris] if num_tris else scene["tri_e2"][:0], Pp)
-    # spheres occupy rows [num_tris, P)
-    cen = jnp.zeros((Pp, 3), jnp.float32)
-    rad = jnp.zeros((Pp,), jnp.float32)
-    if num_sph:
-        cen = cen.at[num_tris:P].set(scene["sph_center"][:num_sph])
-        rad = rad.at[num_tris:P].set(scene["sph_radius"][:num_sph])
-    valid = (jnp.arange(Pp) < P)
-    is_tri = (jnp.arange(Pp) < num_tris)
+    tv0 = scene["tri_v0"]
+    te1 = scene["tri_e1"]
+    te2 = scene["tri_e2"]
+    cen = scene["sph_center"]
+    rad = scene["sph_radius"]
 
-    n_chunks = Pp // _DENSE_CHUNK
-    vz = ro[..., 0] * 0.0  # vma seed (see note above)
-
-    def chunk_body(carry, ci):
-        t, prim, u, v = carry
-        s = ci * _DENSE_CHUNK
-        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, s, _DENSE_CHUNK, 0)
-        cv0, ce1, ce2 = sl(v0), sl(e1), sl(e2)
-        ccen, crad = sl(cen), sl(rad)
-        cvalid, cistri = sl(valid), sl(is_tri)
-        t_t, tu, tv, h_t = vm.intersect_tri(
-            ro[:, None, :], rd[:, None, :], cv0[None], ce1[None], ce2[None],
-            t_min=t_min,
-        )  # [N, C]
-        t_s, h_s = vm.intersect_sphere(
-            ro[:, None, :], rd[:, None, :], ccen[None], crad[None], t_min=t_min
+    def tri_step(carry, i):
+        t_best, prim, ub, vb = carry
+        v0x, v0y, v0z = tv0[i, 0], tv0[i, 1], tv0[i, 2]
+        e1x, e1y, e1z = te1[i, 0], te1[i, 1], te1[i, 2]
+        e2x, e2y, e2z = te2[i, 0], te2[i, 1], te2[i, 2]
+        px = rdy * e2z - rdz * e2y
+        py = rdz * e2x - rdx * e2z
+        pz = rdx * e2y - rdy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tx, ty, tz = rox - v0x, roy - v0y, roz - v0z
+        u = (tx * px + ty * py + tz * pz) * inv
+        qx = ty * e1z - tz * e1y
+        qy = tz * e1x - tx * e1z
+        qz = tx * e1y - ty * e1x
+        v = (rdx * qx + rdy * qy + rdz * qz) * inv
+        tt = (e2x * qx + e2y * qy + e2z * qz) * inv
+        hit = (
+            (jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+            & (u + v <= 1.0) & (tt > t_min) & (tt < t_best)
         )
-        tp = jnp.where(cistri[None], t_t, t_s)
-        hp = jnp.where(cistri[None], h_t, h_s) & cvalid[None]
-        tp = jnp.where(hp, tp, vm.INF)
-        # best within chunk
-        k = jnp.argmin(tp, axis=1)
-        tk = jnp.take_along_axis(tp, k[:, None], axis=1)[:, 0]
-        uk = jnp.take_along_axis(tu, k[:, None], axis=1)[:, 0]
-        vk = jnp.take_along_axis(tv, k[:, None], axis=1)[:, 0]
-        trik = jnp.take_along_axis(jnp.broadcast_to(cistri[None], tp.shape), k[:, None], axis=1)[:, 0]
-        closer = tk < t
-        t = jnp.where(closer, tk, t)
-        prim = jnp.where(closer, (s + k).astype(jnp.int32), prim)
-        u = jnp.where(closer, jnp.where(trik, uk, 0.0), u)
-        v = jnp.where(closer, jnp.where(trik, vk, 0.0), v)
-        return (t, prim, u, v), None
+        t_best = jnp.where(hit, tt, t_best)
+        prim = jnp.where(hit, i, prim)
+        ub = jnp.where(hit, u, ub)
+        vb = jnp.where(hit, v, vb)
+        return (t_best, prim, ub, vb), None
 
-    init = (
-        t0 + vz,
-        vz.astype(jnp.int32) - 1,
-        vz,
-        vz,
-    )
-    if n_chunks <= 8:
-        carry = init
-        for ci in range(n_chunks):
-            carry, _ = chunk_body(carry, ci)
+    def sph_step(carry, i):
+        t_best, prim, ub, vb = carry
+        cx, cy, cz = cen[i, 0], cen[i, 1], cen[i, 2]
+        r = rad[i]
+        ox, oy, oz = rox - cx, roy - cy, roz - cz
+        b = ox * rdx + oy * rdy + oz * rdz
+        c = ox * ox + oy * oy + oz * oz - r * r
+        disc = b * b - c
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        tA = -b - sq
+        tB = -b + sq
+        tt = jnp.where(tA > t_min, tA, tB)
+        hit = (disc > 0.0) & (tt > t_min) & (tt < t_best)
+        t_best = jnp.where(hit, tt, t_best)
+        prim = jnp.where(hit, num_tris + i, prim)
+        return (t_best, prim, ub, vb), None
+
+    carry = (t_best, prim, ub, vb)
+    # Unroll small pools fully (one fused kernel); scan chunks otherwise
+    # so compile size stays bounded.
+    UNROLL = 64
+    if num_tris <= UNROLL:
+        for i in range(num_tris):
+            carry, _ = tri_step(carry, i)
     else:
         carry, _ = jax.lax.scan(
-            chunk_body, init, jnp.arange(n_chunks, dtype=jnp.int32)
+            tri_step, carry, jnp.arange(num_tris, dtype=jnp.int32),
+            unroll=16,
+        )
+    if num_sph <= UNROLL:
+        for i in range(num_sph):
+            carry, _ = sph_step(carry, i)
+    else:
+        carry, _ = jax.lax.scan(
+            sph_step, carry, jnp.arange(num_sph, dtype=jnp.int32),
+            unroll=16,
         )
     t, prim, u, v = carry
     hit = t < t0
@@ -161,15 +180,27 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
     T = scene["tri_v0"].shape[0]
     S = scene["sph_center"].shape[0]
     num_tris = scene["num_tris"]
-    nbmin = scene["nodes_bmin"]
-    nbmax = scene["nodes_bmax"]
     nhit = scene["nodes_hit"]
     nmiss = scene["nodes_miss"]
     nps = scene["nodes_prim_start"]
     npc = scene["nodes_prim_count"]
     prim_order = scene["prim_order"]
 
+    # Component (SoA) splits: every gather below is a clean [N]<-[K]
+    # f32 gather and every op a fused [N] vector op (see the layout note
+    # on _traverse_dense; same 10-20x effect inside this loop body).
+    nbx0, nby0, nbz0 = (scene["nodes_bmin"][:, a] for a in range(3))
+    nbx1, nby1, nbz1 = (scene["nodes_bmax"][:, a] for a in range(3))
+    tv0x, tv0y, tv0z = (scene["tri_v0"][:, a] for a in range(3))
+    te1x, te1y, te1z = (scene["tri_e1"][:, a] for a in range(3))
+    te2x, te2y, te2z = (scene["tri_e2"][:, a] for a in range(3))
+    scx, scy, scz = (scene["sph_center"][:, a] for a in range(3))
+    srad = scene["sph_radius"]
+
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
+    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
     rd_inv = _safe_inv(rd)
+    rix, riy, riz = rd_inv[:, 0], rd_inv[:, 1], rd_inv[:, 2]
     if t_max is None:
         t0 = jnp.full((N,), vm.INF, jnp.float32)
     else:
@@ -197,9 +228,22 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
         steps = steps + (cur >= 0)
         active = cur >= 0
         curc = jnp.maximum(cur, 0)
-        bmin = jnp.take(nbmin, curc, axis=0)
-        bmax = jnp.take(nbmax, curc, axis=0)
-        ahit = vm.intersect_aabb(ro, rd_inv, bmin, bmax, t) & active
+        # slab test, component form
+        tx0 = (jnp.take(nbx0, curc) - rox) * rix
+        tx1 = (jnp.take(nbx1, curc) - rox) * rix
+        ty0 = (jnp.take(nby0, curc) - roy) * riy
+        ty1 = (jnp.take(nby1, curc) - roy) * riy
+        tz0 = (jnp.take(nbz0, curc) - roz) * riz
+        tz1 = (jnp.take(nbz1, curc) - roz) * riz
+        t_enter = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        t_exit = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
+        ahit = (t_enter <= t_exit) & (t_exit > 0.0) & (t_enter < t) & active
         ps = jnp.take(nps, curc)
         pc = jnp.take(npc, curc)
         do_leaf = ahit & (ps >= 0)
@@ -209,13 +253,38 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
             is_tri = pid < num_tris
             tid = jnp.clip(pid, 0, T - 1)
             sid = jnp.clip(pid - num_tris, 0, S - 1)
-            v0 = jnp.take(scene["tri_v0"], tid, axis=0)
-            e1 = jnp.take(scene["tri_e1"], tid, axis=0)
-            e2 = jnp.take(scene["tri_e2"], tid, axis=0)
-            t_t, tu, tv, h_t = vm.intersect_tri(ro, rd, v0, e1, e2, t_min=t_min)
-            c = jnp.take(scene["sph_center"], sid, axis=0)
-            r = jnp.take(scene["sph_radius"], sid)
-            t_s, h_s = vm.intersect_sphere(ro, rd, c, r, t_min=t_min)
+            # Moller-Trumbore, component form
+            v0x, v0y, v0z = jnp.take(tv0x, tid), jnp.take(tv0y, tid), jnp.take(tv0z, tid)
+            e1x, e1y, e1z = jnp.take(te1x, tid), jnp.take(te1y, tid), jnp.take(te1z, tid)
+            e2x, e2y, e2z = jnp.take(te2x, tid), jnp.take(te2y, tid), jnp.take(te2z, tid)
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+            dx, dy, dz = rox - v0x, roy - v0y, roz - v0z
+            tu = (dx * px + dy * py + dz * pz) * inv
+            qx = dy * e1z - dz * e1y
+            qy = dz * e1x - dx * e1z
+            qz = dx * e1y - dy * e1x
+            tv = (rdx * qx + rdy * qy + rdz * qz) * inv
+            t_t = (e2x * qx + e2y * qy + e2z * qz) * inv
+            h_t = (
+                (jnp.abs(det) > 1e-12) & (tu >= 0.0) & (tv >= 0.0)
+                & (tu + tv <= 1.0) & (t_t > t_min)
+            )
+            # sphere, component form
+            cx, cy, cz = jnp.take(scx, sid), jnp.take(scy, sid), jnp.take(scz, sid)
+            r = jnp.take(srad, sid)
+            ox, oy, oz = rox - cx, roy - cy, roz - cz
+            bq = ox * rdx + oy * rdy + oz * rdz
+            cq = ox * ox + oy * oy + oz * oz - r * r
+            disc = bq * bq - cq
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            tA = -bq - sq
+            tB = -bq + sq
+            t_s = jnp.where(tA > t_min, tA, tB)
+            h_s = (disc > 0.0) & (t_s > t_min)
             t_p = jnp.where(is_tri, t_t, t_s)
             h_p = jnp.where(is_tri, h_t, h_s) & valid
             closer = h_p & (t_p < t)
