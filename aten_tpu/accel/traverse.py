@@ -167,7 +167,7 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
         return _traverse_dense(scene, ro, rd, t0, any_hit, t_min)
     use_pallas = impl == "pallas" or (
         impl == "auto"
-        and "pl_nodes" in scene
+        and ("pl_nodes" in scene or "trl_nodes" in scene)
         and jax.default_backend() == "tpu"
     )
     if use_pallas:

@@ -259,6 +259,285 @@ def _traverse_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
     )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
 
 
+# ---------------------------------------------------------------------------
+# Treelet variant: scales past VMEM.
+#
+# The resident kernel above needs node+prim pools in VMEM (~512 B/record,
+# ceiling measured at ~8 MB on this chip -> toy scenes only).  For large
+# scenes the BVH is CUT into treelets of <= TREELET_MAX primitives: the
+# small top tree stays resident in VMEM, treelet roots become "fat
+# leaves" carrying a contiguous primitive-block range (preorder leaf
+# order makes every subtree's prims contiguous already), and the blocks
+# live in HBM, DMA-streamed into a VMEM scratch in CHUNK-row pieces when
+# a tile's traversal vote enters the treelet.  This trades pointer-chase
+# latency for bulk DMA bandwidth — the TPU-native answer to the
+# reference's tex1Dfetch node cache (threaded_bvh_traverser.h:61-82).
+# ---------------------------------------------------------------------------
+
+TREELET_MAX = 64
+CHUNK = 64  # prim rows per DMA piece (32 KB)
+
+
+def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
+                         num_tris, treelet_max=TREELET_MAX):
+    """Cut the threaded BVH into a VMEM top tree + HBM prim blocks."""
+    nhit = np.asarray(bvh["nodes_hit"], np.int64)
+    nmiss = np.asarray(bvh["nodes_miss"], np.int64)
+    nps = np.asarray(bvh["nodes_prim_start"], np.int64)
+    npc = np.asarray(bvh["nodes_prim_count"], np.int64)
+    K = nhit.shape[0]
+    order = np.asarray(bvh["prim_order"], np.int64)
+    P = order.shape[0]
+
+    # prefix[i] = prims emitted before preorder node i (leaf order is
+    # preorder, so subtree(i) owns prims [prefix[i], prefix[skip_i]) )
+    prefix = np.zeros(K + 1, np.int64)
+    prefix[1:] = np.cumsum(np.where(nps >= 0, npc, 0))
+
+    def subtree_count(i):
+        skip = nmiss[i]
+        end = P if skip < 0 else prefix[skip]
+        return end - prefix[i]
+
+    # preorder walk selecting the cut (roots of treelets)
+    keep = []          # old ids of surviving nodes, preorder
+    is_fat = []
+    i = 0
+    while i != -1:
+        cnt = subtree_count(i)
+        if nps[i] >= 0 or cnt <= treelet_max:
+            keep.append(i)
+            is_fat.append(True)
+            i = int(nmiss[i])
+        else:
+            keep.append(i)
+            is_fat.append(False)
+            i = i + 1  # preorder child
+    keep = np.asarray(keep, np.int64)
+    new_of = {int(o): n for n, o in enumerate(keep)}
+
+    Kt = len(keep)
+    Kp = -(-Kt // ROWS) * ROWS
+    nodes = np.zeros((Kp, LANES), np.float32)
+    nodes[:Kt, 0:3] = np.asarray(bvh["nodes_bmin"], np.float32)[keep]
+    nodes[:Kt, 3:6] = np.asarray(bvh["nodes_bmax"], np.float32)[keep]
+    ints = np.full((Kp, 4), -1, np.int32)
+    for n, (o, fat) in enumerate(zip(keep, is_fat)):
+        miss = int(nmiss[o])
+        miss_new = -1 if miss < 0 else new_of[miss]
+        if fat:
+            ints[n, 0] = miss_new
+            ints[n, 1] = miss_new
+            ints[n, 2] = prefix[o]
+            ints[n, 3] = subtree_count(o)
+        else:
+            ints[n, 0] = new_of[int(o) + 1]  # preorder child survives
+            ints[n, 1] = miss_new
+            ints[n, 2] = -1
+            ints[n, 3] = 0
+    nodes[:, 6:10] = ints.view(np.float32)
+
+    # prim rows: identical packing to the resident layout, padded so a
+    # CHUNK-row DMA beyond the last block stays in bounds
+    Pp = (-(-P // CHUNK) + 1) * CHUNK
+    prims = np.zeros((Pp, LANES), np.float32)
+    is_tri = order < num_tris
+    tid = np.clip(order, 0, max(len(tri_v0) - 1, 0))
+    sid = np.clip(order - num_tris, 0, max(len(sph_center) - 1, 0))
+    prims[:P, 0:3] = np.where(is_tri[:, None], np.asarray(tri_v0)[tid], 0.0)
+    prims[:P, 3:6] = np.where(is_tri[:, None], np.asarray(tri_e1)[tid], 0.0)
+    prims[:P, 6:9] = np.where(is_tri[:, None], np.asarray(tri_e2)[tid], 0.0)
+    prims[:P, 9:12] = np.where(~is_tri[:, None], np.asarray(sph_center)[sid], 0.0)
+    prims[:P, 12] = np.where(~is_tri, np.asarray(sph_radius)[sid], 0.0)
+    pints = np.zeros((Pp, 2), np.int32)
+    pints[:P, 0] = order
+    pints[:P, 1] = is_tri.astype(np.int32)
+    prims[:, 13:15] = pints.view(np.float32)
+    return {"trl_nodes": nodes, "trl_prims": prims}
+
+
+def _make_treelet_kernel(any_hit: bool, t_min: float):
+    def f2i(x):
+        return pltpu.bitcast(x, jnp.int32)
+
+    def kernel(
+        nodes_ref, prims_hbm,
+        rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref, t0_ref,
+        tout_ref, pout_ref, uout_ref, vout_ref,
+        scratch_ref, sem_ref,
+    ):
+        rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
+        rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
+
+        def safe_inv(d):
+            return jnp.where(
+                jnp.abs(d) > 1e-12, 1.0 / jnp.where(d == 0, 1.0, d), 1e12
+            )
+
+        ivx, ivy, ivz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+
+        def test_prim_row(prow, ok, t, prim, u, v):
+            v0x, v0y, v0z = prow[0, 0], prow[0, 1], prow[0, 2]
+            e1x, e1y, e1z = prow[0, 3], prow[0, 4], prow[0, 5]
+            e2x, e2y, e2z = prow[0, 6], prow[0, 7], prow[0, 8]
+            cx, cy, cz, rr = prow[0, 9], prow[0, 10], prow[0, 11], prow[0, 12]
+            pirow = f2i(prow)
+            pid = pirow[0, 13]
+            istri = pirow[0, 14] > 0
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(
+                jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+            )
+            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            h_tri = (
+                (jnp.abs(det) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
+                & (uu + vv <= 1.0) & (tt > t_min)
+            )
+            ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+            b = ocx * rdx + ocy * rdy + ocz * rdz
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+            disc = b * b - cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            ts0 = -b - sq
+            ts1 = -b + sq
+            ts = jnp.where(ts0 > t_min, ts0, ts1)
+            h_sph = (disc > 0.0) & (ts > t_min)
+            tp = jnp.where(istri, tt, ts)
+            hp = ((h_tri & istri) | (h_sph & jnp.logical_not(istri))) & ok
+            closer = hp & (tp < t)
+            t = jnp.where(closer, tp, t)
+            prim = jnp.where(closer, pid, prim)
+            u = jnp.where(closer, jnp.where(istri, uu, 0.0), u)
+            v = jnp.where(closer, jnp.where(istri, vv, 0.0), v)
+            return t, prim, u, v
+
+        t_init = t0_ref[:]
+        prim0 = jnp.full((ROWS, LANES), -1, jnp.int32)
+        zero = jnp.zeros((ROWS, LANES), jnp.float32)
+
+        def cond(c):
+            return c[0] >= 0
+
+        def body(c):
+            cur, t, prim, u, v = c
+            row = nodes_ref[pl.ds(cur, 1), :]
+            bminx, bminy, bminz = row[0, 0], row[0, 1], row[0, 2]
+            bmaxx, bmaxy, bmaxz = row[0, 3], row[0, 4], row[0, 5]
+            irow = f2i(row)
+            hitl, missl = irow[0, 6], irow[0, 7]
+            start, count = irow[0, 8], irow[0, 9]
+
+            t0x = (bminx - rox) * ivx
+            t1x = (bmaxx - rox) * ivx
+            t0y = (bminy - roy) * ivy
+            t1y = (bmaxy - roy) * ivy
+            t0z = (bminz - roz) * ivz
+            t1z = (bmaxz - roz) * ivz
+            tenter = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            texit = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            if any_hit:
+                want = prim < 0
+            else:
+                want = jnp.full_like(prim, True, dtype=jnp.bool_)
+            hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
+            anyhit = jnp.any(hitv)
+            enter_block = (start >= 0) & anyhit
+
+            def stream_block(tpuv):
+                t, prim, u, v = tpuv
+
+                def chunk_cond(cc):
+                    return cc[0] * CHUNK < count
+
+                def chunk_body(cc):
+                    ci, t, prim, u, v = cc
+                    dma = pltpu.make_async_copy(
+                        prims_hbm.at[pl.ds(start + ci * CHUNK, CHUNK), :],
+                        scratch_ref,
+                        sem_ref,
+                    )
+                    dma.start()
+                    dma.wait()
+
+                    def row_body(k, tpuv2):
+                        t, prim, u, v = tpuv2
+                        ok = (ci * CHUNK + k) < count
+                        prow = scratch_ref[pl.ds(k, 1), :]
+                        return test_prim_row(prow, ok, t, prim, u, v)
+
+                    t, prim, u, v = jax.lax.fori_loop(
+                        0, CHUNK, row_body, (t, prim, u, v), unroll=CHUNK
+                    )
+                    return (ci + 1, t, prim, u, v)
+
+                _, t, prim, u, v = jax.lax.while_loop(
+                    chunk_cond, chunk_body, (jnp.int32(0), t, prim, u, v)
+                )
+                return t, prim, u, v
+
+            t, prim, u, v = jax.lax.cond(
+                enter_block, stream_block, lambda x: x, (t, prim, u, v)
+            )
+            nxt = jnp.where(anyhit, hitl, missl)
+            if any_hit:
+                nxt = jnp.where(jnp.all(prim >= 0), -1, nxt)
+            return (nxt, t, prim, u, v)
+
+        cur0 = jnp.int32(0)
+        _, t, prim, u, v = jax.lax.while_loop(
+            cond, body, (cur0, t_init, prim0, zero, zero)
+        )
+        tout_ref[:] = t
+        pout_ref[:] = prim
+        uout_ref[:] = u
+        vout_ref[:] = v
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "t_min"))
+def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
+                            any_hit=False, t_min=1e-4):
+    g = rox.shape[0] // ROWS
+    kernel = _make_treelet_kernel(any_hit, float(t_min))
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rox.shape, jnp.int32),
+        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # top tree resident
+            pl.BlockSpec(memory_space=pltpu.ANY),    # prim blocks in HBM
+        ] + [ray_spec] * 7,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
+
+
 def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     """Drop-in replacement for accel.traverse.traverse on TPU.
 
@@ -287,11 +566,18 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     rdz = prep(rd[:, 2], fill=1.0)
     t0p = prep(t0, fill=-1.0)  # padded rays: t<0 -> never hit
 
-    t, prim, u, v = _traverse_tiles(
-        scene["pl_nodes"], scene["pl_prims"],
-        rox, roy, roz, rdx, rdy, rdz, t0p,
-        any_hit=any_hit, t_min=t_min,
-    )
+    if "pl_nodes" in scene:
+        t, prim, u, v = _traverse_tiles(
+            scene["pl_nodes"], scene["pl_prims"],
+            rox, roy, roz, rdx, rdy, rdz, t0p,
+            any_hit=any_hit, t_min=t_min,
+        )
+    else:
+        t, prim, u, v = _traverse_treelet_tiles(
+            scene["trl_nodes"], scene["trl_prims"],
+            rox, roy, roz, rdx, rdy, rdz, t0p,
+            any_hit=any_hit, t_min=t_min,
+        )
     flat = lambda x: x.reshape(-1)[:N]
     prim = flat(prim)
     return {"t": flat(t), "prim": prim, "u": flat(u), "v": flat(v), "hit": prim >= 0}

@@ -378,15 +378,24 @@ class SceneBuilder:
         if num_instances == 0:
             K = bvh["nodes_bmin"].shape[0]
             P = bvh["prim_order"].shape[0]
-            pool_bytes = K * 40 + P * 60
-            if pool_bytes < 6 * 1024 * 1024:
+            # resident kernel rows are 512 B/record; VMEM ceiling measured
+            # ~8 MB on v5e -> resident for small scenes, treelet-streamed
+            # (top tree in VMEM, prim blocks DMA'd from HBM) for the rest
+            pool_bytes = (K + P) * 512
+            if pool_bytes < 5 * 1024 * 1024:
                 from aten_tpu.ops.traverse_pallas import build_pallas_layout
 
                 layout = build_pallas_layout(
                     bvh, tv0, te1, te2, sc, sr, num_tris
                 )
-                for k, v in layout.items():
-                    arrays[k] = jnp.asarray(v)
+            else:
+                from aten_tpu.ops.traverse_pallas import build_treelet_layout
+
+                layout = build_treelet_layout(
+                    bvh, tv0, te1, te2, sc, sr, num_tris
+                )
+            for k, v in layout.items():
+                arrays[k] = jnp.asarray(v)
         if self._envmap is not None:
             arrays.update(build_env_tables(self._envmap))
         if self.textures.images:

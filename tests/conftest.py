@@ -12,8 +12,11 @@ import os
 import jax
 import pytest
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+if not os.environ.get("ATEN_TPU_TESTS"):
+    # main suite: CPU oracle on a virtual 8-device mesh.  Set
+    # ATEN_TPU_TESTS=1 to keep the real backend (tests/test_pallas_tpu.py).
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 # Persistent compile cache: the integrator/sharding programs take minutes
 # to compile on the CPU backend; the cache makes repeat suite runs fast.
 jax.config.update("jax_compilation_cache_dir", "/tmp/aten_tpu_jax_cache")
