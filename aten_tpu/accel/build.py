@@ -58,6 +58,16 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_int32),
         ]
+        lib.aten_build_sbvh.restype = ctypes.c_int64
+        lib.aten_build_sbvh.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int32, ctypes.c_float,
+            ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+        ]
         _native_lib = lib
     except Exception:
         _native_lib = None
@@ -97,6 +107,56 @@ def _build_bvh_native(bmin, bmax, leaf_max):
         "nodes_prim_start": ps[:K].copy(),
         "nodes_prim_count": pc[:K].copy(),
         "prim_order": order,
+    }
+
+
+def build_sbvh(bmin, bmax, leaf_max: int = LEAF_MAX, alpha: float = 1e-5):
+    """Spatial-split BVH (reference sbvh.cpp:278-324 via the native
+    builder): primitive REFERENCES may be duplicated into both children
+    with clipped boxes when that lowers SAH cost, which tightens trees
+    over scenes with large, axis-spanning triangles.  Same output schema
+    as build_bvh (prim_order may repeat ids; traversal is agnostic).
+    Falls back to the plain SAH build when the native library is
+    unavailable or capacities are exceeded."""
+    lib = _load_native()
+    bmin = np.ascontiguousarray(bmin, np.float32)
+    bmax = np.ascontiguousarray(bmax, np.float32)
+    P = bmin.shape[0]
+    if lib is None or not hasattr(lib, "aten_build_sbvh") or P < 4:
+        return build_bvh(bmin, bmax, leaf_max)
+    cap_prims = 2 * P
+    cap_nodes = 4 * P
+    nbmin = np.empty((cap_nodes, 3), np.float32)
+    nbmax = np.empty((cap_nodes, 3), np.float32)
+    hit = np.empty(cap_nodes, np.int32)
+    miss = np.empty(cap_nodes, np.int32)
+    ps = np.empty(cap_nodes, np.int32)
+    pc = np.empty(cap_nodes, np.int32)
+    order = np.empty(cap_prims, np.int32)
+    nrefs = np.zeros(1, np.int64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lp = ctypes.POINTER(ctypes.c_int64)
+    K = lib.aten_build_sbvh(
+        bmin.ctypes.data_as(fp), bmax.ctypes.data_as(fp),
+        ctypes.c_int64(P), ctypes.c_int32(leaf_max), ctypes.c_float(alpha),
+        ctypes.c_int64(cap_nodes), ctypes.c_int64(cap_prims),
+        nbmin.ctypes.data_as(fp), nbmax.ctypes.data_as(fp),
+        hit.ctypes.data_as(ip), miss.ctypes.data_as(ip),
+        ps.ctypes.data_as(ip), pc.ctypes.data_as(ip),
+        order.ctypes.data_as(ip), nrefs.ctypes.data_as(lp),
+    )
+    if K < 0:
+        return build_bvh(bmin, bmax, leaf_max)
+    R = int(nrefs[0])
+    return {
+        "nodes_bmin": nbmin[:K].copy(),
+        "nodes_bmax": nbmax[:K].copy(),
+        "nodes_hit": hit[:K].copy(),
+        "nodes_miss": miss[:K].copy(),
+        "nodes_prim_start": ps[:K].copy(),
+        "nodes_prim_count": pc[:K].copy(),
+        "prim_order": order[:R].copy(),
     }
 
 

@@ -20,6 +20,12 @@ def main(argv=None):
     p.add_argument("obj")
     p.add_argument("-o", "--output", required=True, help=".npz cache path")
     p.add_argument("--leaf-max", type=int, default=4)
+    p.add_argument("--spatial-splits", action="store_true",
+                   help="SBVH build (sbvh.cpp role): allow duplicated "
+                        "clipped references when they lower SAH cost")
+    p.add_argument("--alpha", type=float, default=1e-5,
+                   help="spatial-split trigger: child-overlap area over "
+                        "root area threshold")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -30,7 +36,7 @@ def main(argv=None):
     sb = SceneBuilder()
     load_obj(sb, args.obj)
     t0 = time.perf_counter()
-    from aten_tpu.accel.build import build_bvh
+    from aten_tpu.accel.build import build_bvh, build_sbvh
 
     faces = np.asarray(sb._faces, np.int64)
     pos = np.asarray(sb._vpos, np.float32)
@@ -39,7 +45,10 @@ def main(argv=None):
     p2 = pos[faces[:, 2]]
     bmin = np.minimum(np.minimum(p0, p1), p2) - 1e-5
     bmax = np.maximum(np.maximum(p0, p1), p2) + 1e-5
-    bvh = build_bvh(bmin, bmax, leaf_max=args.leaf_max)
+    if args.spatial_splits:
+        bvh = build_sbvh(bmin, bmax, leaf_max=args.leaf_max, alpha=args.alpha)
+    else:
+        bvh = build_bvh(bmin, bmax, leaf_max=args.leaf_max)
     dt = time.perf_counter() - t0
     np.savez_compressed(args.output, **bvh)
     print(

@@ -21,8 +21,10 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from aten_tpu.accel.traverse import occluded
+from aten_tpu.accel.traverse import occluded, traverse
 from aten_tpu.core import vecmath as vm
+from aten_tpu.core.camera import generate_ray
+import numpy as np
 from aten_tpu.denoise.svgf import _shift
 from aten_tpu.integrator.pathtracer import render_sample_with_aovs
 from aten_tpu.scene.lights import sample_light
@@ -107,6 +109,68 @@ def feature_lines(aovs, params: ToonParams):
         albedo_edge = jnp.abs(a_q - alb).sum(-1) > 0.4
         line = line | depth_edge | normal_edge | id_edge | albedo_edge
     return line.astype(jnp.float32)
+
+
+def feature_lines_sample_rays(
+    scene, cam_arrays, width, height, frame, params: ToonParams = None,
+    num_samples=8, disc_radius_px=1.0,
+):
+    """Sample-ray feature lines (the reference's physically-based
+    formulation, renderer/npr/feature_line.h:36-160): around each query
+    ray, `num_samples` rays through a pixel-space disc are traced and
+    their hit attributes compared against the query hit — mesh id,
+    tangent-plane depth, normal, albedo metrics.  Sub-pixel accurate
+    (unlike the G-buffer variant above), at the cost of extra
+    traversals.  Returns a [H,W] line mask in [0,1]."""
+    from aten_tpu.integrator.pathtracer import eval_hit
+    from aten_tpu.scene.materials import gather_material
+    from aten_tpu.scene import textures as tex_mod
+
+    params = params or ToonParams()
+    N = width * height
+    lpix = jnp.arange(N, dtype=jnp.uint32)
+    px = (lpix % width).astype(jnp.float32)
+    py = (lpix // width).astype(jnp.float32)
+
+    def attrs_for(s, t):
+        ro, rd = generate_ray(cam_arrays, s, t)
+        hit = traverse(scene, ro, rd)
+        h = eval_hit(scene, ro, rd, hit)
+        mat = gather_material(scene["materials"], h["mtl"])
+        mat = tex_mod.apply_albedo(scene, mat, h["uv"])
+        return {
+            "hit": hit["hit"], "p": h["p"], "ns": h["ns"],
+            "mtl": h["mtl"], "alb": mat["base_color"],
+            "depth": jnp.where(hit["hit"], hit["t"], -1.0),
+        }
+
+    s0 = (px + 0.5) / width
+    t0 = (jnp.float32(height - 1) - py + 0.5) / height
+    q = attrs_for(s0, t0)
+
+    line = jnp.zeros((N,), bool)
+    for k in range(num_samples):
+        ang = 2.0 * np.pi * (k + 0.5) / num_samples
+        # golden-ratio radii distribute samples over the disc
+        rad = disc_radius_px * np.sqrt((k % 4 + 1) / 4.0)
+        dx = rad * np.cos(ang) / width
+        dy = rad * np.sin(ang) / height
+        sm = attrs_for(s0 + dx, t0 + dy)
+        both = q["hit"] & sm["hit"]
+        plane_d = jnp.abs(vm.dot(sm["p"] - q["p"], q["ns"], keepdims=False))
+        depth_edge = both & (
+            plane_d > params.depth_threshold * jnp.maximum(q["depth"], 1e-3)
+        )
+        normal_edge = both & (
+            vm.dot(sm["ns"], q["ns"], keepdims=False) < params.normal_threshold
+        )
+        id_edge = both & (sm["mtl"] != q["mtl"])
+        albedo_edge = both & (
+            jnp.abs(sm["alb"] - q["alb"]).sum(-1) > 0.4
+        )
+        sil_edge = q["hit"] != sm["hit"]  # object silhouette vs background
+        line = line | depth_edge | normal_edge | id_edge | albedo_edge | sil_edge
+    return line.astype(jnp.float32).reshape(height, width)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "params"))

@@ -245,7 +245,8 @@ def _trace_paths(
         wo = -rd
         # ---- NEE (skipped for singular BSDFs)
         contrib, state = nee.nee_contribution(
-            scene, mat, h["p"], h["ns"], wo, state, occluded_fn
+            scene, mat, h["p"], h["ns"], wo, state, occluded_fn,
+            used=scene.get("used_mtl_types"),
         )
         is_singular_mat = (mat["type"] == MaterialType.SPECULAR) | (
             mat["type"] == MaterialType.REFRACTION
@@ -267,7 +268,9 @@ def _trace_paths(
         # ---- BSDF sample + next ray (PrepareForNextBounce)
         u1, u2, state = smp.next_2d(state)
         u3, state = smp.next_1d(state)
-        samp = brdf_mod.sample_brdf(mat, h["ns"], wo, u1, u2, u3)
+        samp = brdf_mod.sample_brdf(
+            mat, h["ns"], wo, u1, u2, u3, used=scene.get("used_mtl_types")
+        )
         n_or = brdf_mod.orient_normal(h["ns"], wo)
         cos_wi = jnp.abs(vm.dot(n_or, samp["wi"], keepdims=False))
         good = (samp["pdf"] > 1e-9) & (cos_wi > 1e-9)

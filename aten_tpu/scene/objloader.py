@@ -41,12 +41,40 @@ def parse_mtl(path):
                 cur[key] = float(tok[1])
             elif key == "map_kd" and len(tok) >= 2:
                 cur["map_kd"] = tok[-1]
+            elif key in ("map_bump", "bump", "norm") and len(tok) >= 2:
+                cur["map_bump"] = tok[-1]
     return mats
 
 
-def _mtl_to_material(builder, m):
+def _mtl_to_material(builder, m, base_dir=None, tex_cache=None):
     """Heuristic .mtl -> MaterialType mapping (mirrors the reference's
-    material callback defaulting to diffuse)."""
+    material callback defaulting to diffuse); loads map_Kd / normal maps
+    into the texture table (ImageLoader role)."""
+    kw = {}
+    if base_dir is not None and tex_cache is not None:
+        def tex_of(fname, srgb):
+            if not fname:
+                return -1
+            p = os.path.join(base_dir, fname)
+            if p not in tex_cache:
+                if not os.path.exists(p):
+                    tex_cache[p] = -1
+                else:
+                    from aten_tpu.io.image import load_texture
+
+                    tex_cache[p] = load_texture(builder, p, srgb_to_linear=srgb)
+            return tex_cache[p]
+
+        a = tex_of(m.get("map_kd"), True)
+        if a >= 0:
+            kw["albedo_map"] = a
+        bump = m.get("map_bump")
+        # -nml/-norm names are tangent-space normal maps; real height maps
+        # would need bump2normal conversion (cli/bump2normal.py)
+        if bump and ("nml" in bump.lower() or "norm" in bump.lower()):
+            n = tex_of(bump, False)
+            if n >= 0:
+                kw["normal_map"] = n
     ke = m.get("ke", (0, 0, 0))
     if max(ke) > 0:
         return builder.add_material(MaterialType.EMISSIVE, base_color=ke)
@@ -60,9 +88,10 @@ def _mtl_to_material(builder, m):
     if max(ks) > 0.1:
         rough = float(np.clip(np.sqrt(2.0 / (m.get("ns", 10.0) + 2.0)), 0.03, 1.0))
         return builder.add_material(
-            MaterialType.GGX, base_color=m["kd"], roughness=rough, ior=m.get("ni", 1.5)
+            MaterialType.GGX, base_color=m["kd"], roughness=rough,
+            ior=m.get("ni", 1.5), **kw,
         )
-    return builder.add_material(MaterialType.DIFFUSE, base_color=m["kd"])
+    return builder.add_material(MaterialType.DIFFUSE, base_color=m["kd"], **kw)
 
 
 def load_obj(builder, path, mtl_override=None, scale=1.0, offset=(0, 0, 0)):
@@ -116,13 +145,14 @@ def load_obj(builder, path, mtl_override=None, scale=1.0, offset=(0, 0, 0)):
     vts_np = np.asarray(vts, np.float32) if vts else np.zeros((0, 2), np.float32)
 
     result = {}
+    tex_cache = {}
     for name, faces in groups.items():
         if not faces:
             continue
         if mtl_override is not None:
             mid = mtl_override(name, mtl_defs.get(name, {}))
         elif name in mtl_defs:
-            mid = _mtl_to_material(builder, mtl_defs[name])
+            mid = _mtl_to_material(builder, mtl_defs[name], base_dir, tex_cache)
         else:
             mid = builder.add_material(MaterialType.DIFFUSE, base_color=(0.7, 0.7, 0.7))
         # Expand to unique (v, vt, vn) corner records for this group.

@@ -487,7 +487,15 @@ _DIFFUSE_LIKE = (
 )
 
 
-def eval_bsdf(mat, ns, wo, wi):
+def _need(used, *types):
+    """Static dispatch pruning: a scene's used-material-type set (baked
+    static at build) lets jit skip whole BRDF families — the TPU
+    analogue of the reference's per-type switch doing no work for
+    absent cases (material_impl.h:24-206)."""
+    return used is None or any(int(t) in used for t in types)
+
+
+def eval_bsdf(mat, ns, wo, wi, used=None):
     """f(wo, wi) for non-singular lobes; zero for singular/emissive."""
     n = orient_normal(ns, wo)
     mtype = mat["type"]
@@ -495,24 +503,33 @@ def eval_bsdf(mat, ns, wo, wi):
 
     f = mat["base_color"] / PI * jnp.ones_like(nl)  # DIFFUSE (+ TOON in PT)
     f = jnp.where((nl > 0), f, 0.0)
-    f_on = _oren_nayar_eval(mat, n, wo, wi)
-    f_ggx, _ = _microfacet_eval(mat, n, wo, wi, "ggx")
-    f_bek, _ = _microfacet_eval(mat, n, wo, wi, "beckmann")
-    f_vel = _velvet_eval(mat, n, wo, wi)
-    f_dis, _ = _disney_eval_pdf(mat, n, wo, wi)
-    f_rough_t, _ = _rough_dielectric_eval_pdf(mat, ns, wo, wi)
-    f_ret, _ = _retro_eval_pdf(mat, n, wo, wi)
-    f_car, _ = _carpaint_eval_pdf(mat, n, wo, wi)
 
     t = mtype[..., None]
-    out = jnp.where(t == MaterialType.OREN_NAYAR, f_on, f)
-    out = jnp.where(t == MaterialType.GGX, f_ggx, out)
-    out = jnp.where(t == MaterialType.BECKMANN, f_bek, out)
-    out = jnp.where(t == MaterialType.VELVET, f_vel, out)
-    out = jnp.where(t == MaterialType.DISNEY, f_dis, out)
-    out = jnp.where(t == MaterialType.MICROFACET_REFRACTION, f_rough_t, out)
-    out = jnp.where(t == MaterialType.RETROREFLECTIVE, f_ret, out)
-    out = jnp.where(t == MaterialType.CAR_PAINT, f_car, out)
+    out = f
+    if _need(used, MaterialType.OREN_NAYAR):
+        out = jnp.where(t == MaterialType.OREN_NAYAR,
+                        _oren_nayar_eval(mat, n, wo, wi), out)
+    if _need(used, MaterialType.GGX):
+        out = jnp.where(t == MaterialType.GGX,
+                        _microfacet_eval(mat, n, wo, wi, "ggx")[0], out)
+    if _need(used, MaterialType.BECKMANN):
+        out = jnp.where(t == MaterialType.BECKMANN,
+                        _microfacet_eval(mat, n, wo, wi, "beckmann")[0], out)
+    if _need(used, MaterialType.VELVET):
+        out = jnp.where(t == MaterialType.VELVET,
+                        _velvet_eval(mat, n, wo, wi), out)
+    if _need(used, MaterialType.DISNEY):
+        out = jnp.where(t == MaterialType.DISNEY,
+                        _disney_eval_pdf(mat, n, wo, wi)[0], out)
+    if _need(used, MaterialType.MICROFACET_REFRACTION):
+        out = jnp.where(t == MaterialType.MICROFACET_REFRACTION,
+                        _rough_dielectric_eval_pdf(mat, ns, wo, wi)[0], out)
+    if _need(used, MaterialType.RETROREFLECTIVE):
+        out = jnp.where(t == MaterialType.RETROREFLECTIVE,
+                        _retro_eval_pdf(mat, n, wo, wi)[0], out)
+    if _need(used, MaterialType.CAR_PAINT):
+        out = jnp.where(t == MaterialType.CAR_PAINT,
+                        _carpaint_eval_pdf(mat, n, wo, wi)[0], out)
     zero_types = (
         (t == MaterialType.SPECULAR)
         | (t == MaterialType.REFRACTION)
@@ -522,25 +539,30 @@ def eval_bsdf(mat, ns, wo, wi):
     return out
 
 
-def eval_pdf(mat, ns, wo, wi):
+def eval_pdf(mat, ns, wo, wi, used=None):
     """Solid-angle pdf of sample_brdf proposing wi; zero for singular."""
     n = orient_normal(ns, wo)
     mtype = mat["type"]
     nl = jnp.clip(vm.dot(n, wi, keepdims=False), 0.0, 1.0)
-    pdf_cos = nl / PI
-    _, pdf_ggx = _microfacet_eval(mat, n, wo, wi, "ggx")
-    _, pdf_bek = _microfacet_eval(mat, n, wo, wi, "beckmann")
-    _, pdf_dis = _disney_eval_pdf(mat, n, wo, wi)
-    _, pdf_rt = _rough_dielectric_eval_pdf(mat, ns, wo, wi)
-    _, pdf_ret = _retro_eval_pdf(mat, n, wo, wi)
-    _, pdf_car = _carpaint_eval_pdf(mat, n, wo, wi)
-    out = pdf_cos
-    out = jnp.where(mtype == MaterialType.GGX, pdf_ggx, out)
-    out = jnp.where(mtype == MaterialType.BECKMANN, pdf_bek, out)
-    out = jnp.where(mtype == MaterialType.DISNEY, pdf_dis, out)
-    out = jnp.where(mtype == MaterialType.MICROFACET_REFRACTION, pdf_rt, out)
-    out = jnp.where(mtype == MaterialType.RETROREFLECTIVE, pdf_ret, out)
-    out = jnp.where(mtype == MaterialType.CAR_PAINT, pdf_car, out)
+    out = nl / PI
+    if _need(used, MaterialType.GGX):
+        out = jnp.where(mtype == MaterialType.GGX,
+                        _microfacet_eval(mat, n, wo, wi, "ggx")[1], out)
+    if _need(used, MaterialType.BECKMANN):
+        out = jnp.where(mtype == MaterialType.BECKMANN,
+                        _microfacet_eval(mat, n, wo, wi, "beckmann")[1], out)
+    if _need(used, MaterialType.DISNEY):
+        out = jnp.where(mtype == MaterialType.DISNEY,
+                        _disney_eval_pdf(mat, n, wo, wi)[1], out)
+    if _need(used, MaterialType.MICROFACET_REFRACTION):
+        out = jnp.where(mtype == MaterialType.MICROFACET_REFRACTION,
+                        _rough_dielectric_eval_pdf(mat, ns, wo, wi)[1], out)
+    if _need(used, MaterialType.RETROREFLECTIVE):
+        out = jnp.where(mtype == MaterialType.RETROREFLECTIVE,
+                        _retro_eval_pdf(mat, n, wo, wi)[1], out)
+    if _need(used, MaterialType.CAR_PAINT):
+        out = jnp.where(mtype == MaterialType.CAR_PAINT,
+                        _carpaint_eval_pdf(mat, n, wo, wi)[1], out)
     zero = (
         (mtype == MaterialType.SPECULAR)
         | (mtype == MaterialType.REFRACTION)
@@ -549,56 +571,67 @@ def eval_pdf(mat, ns, wo, wi):
     return jnp.where(zero, 0.0, out)
 
 
-def sample_brdf(mat, ns, wo, u1, u2, u3):
+def sample_brdf(mat, ns, wo, u1, u2, u3, used=None):
     """Sample wi ~ p(wi | wo). Returns dict:
       wi [N,3], pdf [N], bsdf [N,3], singular [N], transmission [N].
+
+    used: optional static collection of MaterialType ints present in
+    the scene; unused families are pruned from the compiled program.
     """
     n = orient_normal(ns, wo)
     mtype = mat["type"]
+    t3 = mtype[..., None]
 
     # --- cosine-hemisphere family (diffuse / oren-nayar / velvet)
     wi_cos, pdf_cos = _cos_hemisphere_sample(n, u1, u2)
+    wi = wi_cos
 
-    # --- GGX / Beckmann: sample half-vector, reflect
-    h_ggx = _microfacet_sample_h(mat, n, u1, u2, "ggx")
-    wi_ggx = vm.normalize(2.0 * vm.dot(wo, h_ggx) * h_ggx - wo)
-    h_bek = _microfacet_sample_h(mat, n, u1, u2, "beckmann")
-    wi_bek = vm.normalize(2.0 * vm.dot(wo, h_bek) * h_bek - wo)
+    if _need(used, MaterialType.GGX):
+        h_ggx = _microfacet_sample_h(mat, n, u1, u2, "ggx")
+        wi_ggx = vm.normalize(2.0 * vm.dot(wo, h_ggx) * h_ggx - wo)
+        wi = jnp.where(t3 == MaterialType.GGX, wi_ggx, wi)
+    if _need(used, MaterialType.BECKMANN):
+        h_bek = _microfacet_sample_h(mat, n, u1, u2, "beckmann")
+        wi_bek = vm.normalize(2.0 * vm.dot(wo, h_bek) * h_bek - wo)
+        wi = jnp.where(t3 == MaterialType.BECKMANN, wi_bek, wi)
 
     # --- ideal mirror
     wi_spec = vm.reflect(wo, n)
+    if _need(used, MaterialType.SPECULAR):
+        wi = jnp.where(t3 == MaterialType.SPECULAR, wi_spec, wi)
 
     # --- ideal dielectric: Fresnel-weighted reflect/refract
-    entering = vm.dot(ns, wo, keepdims=False) > 0.0
-    eta_i = jnp.where(entering, 1.0, mat["ior"])
-    eta_t = jnp.where(entering, mat["ior"], 1.0)
-    cos_i = jnp.clip(vm.dot(n, wo, keepdims=False), 0.0, 1.0)
-    F = fresnel_dielectric(cos_i, eta_i, eta_t)
-    wt, tir = vm.refract(wo, n, (eta_i / eta_t)[..., None])
-    choose_reflect = (u3 < F) | tir
-    wi_refr = jnp.where(choose_reflect[..., None], wi_spec, wt)
+    if _need(used, MaterialType.REFRACTION):
+        entering = vm.dot(ns, wo, keepdims=False) > 0.0
+        eta_i = jnp.where(entering, 1.0, mat["ior"])
+        eta_t = jnp.where(entering, mat["ior"], 1.0)
+        cos_i = jnp.clip(vm.dot(n, wo, keepdims=False), 0.0, 1.0)
+        F = fresnel_dielectric(cos_i, eta_i, eta_t)
+        wt, tir = vm.refract(wo, n, (eta_i / eta_t)[..., None])
+        choose_reflect = (u3 < F) | tir
+        wi_refr = jnp.where(choose_reflect[..., None], wi_spec, wt)
+        wi = jnp.where(t3 == MaterialType.REFRACTION, wi_refr, wi)
+    else:
+        choose_reflect = jnp.ones(mtype.shape, bool)
 
-    # lobe-mixture samplers
-    wi_dis = _disney_sample(mat, n, wo, u1, u2, u3)
-    wi_rt, rt_transmit = _rough_dielectric_sample(mat, ns, wo, u1, u2, u3)
-    wi_ret = _retro_sample(mat, n, wo, u1, u2, u3)
-    wi_car = _carpaint_sample(mat, n, wo, u1, u2, u3)
-
-    # assemble wi
-    t3 = mtype[..., None]
-    wi = wi_cos
-    wi = jnp.where(t3 == MaterialType.GGX, wi_ggx, wi)
-    wi = jnp.where(t3 == MaterialType.BECKMANN, wi_bek, wi)
-    wi = jnp.where(t3 == MaterialType.SPECULAR, wi_spec, wi)
-    wi = jnp.where(t3 == MaterialType.REFRACTION, wi_refr, wi)
-    wi = jnp.where(t3 == MaterialType.DISNEY, wi_dis, wi)
-    wi = jnp.where(t3 == MaterialType.MICROFACET_REFRACTION, wi_rt, wi)
-    wi = jnp.where(t3 == MaterialType.RETROREFLECTIVE, wi_ret, wi)
-    wi = jnp.where(t3 == MaterialType.CAR_PAINT, wi_car, wi)
+    if _need(used, MaterialType.DISNEY):
+        wi = jnp.where(t3 == MaterialType.DISNEY,
+                       _disney_sample(mat, n, wo, u1, u2, u3), wi)
+    if _need(used, MaterialType.MICROFACET_REFRACTION):
+        wi_rt, rt_transmit = _rough_dielectric_sample(mat, ns, wo, u1, u2, u3)
+        wi = jnp.where(t3 == MaterialType.MICROFACET_REFRACTION, wi_rt, wi)
+    else:
+        rt_transmit = jnp.zeros(mtype.shape, bool)
+    if _need(used, MaterialType.RETROREFLECTIVE):
+        wi = jnp.where(t3 == MaterialType.RETROREFLECTIVE,
+                       _retro_sample(mat, n, wo, u1, u2, u3), wi)
+    if _need(used, MaterialType.CAR_PAINT):
+        wi = jnp.where(t3 == MaterialType.CAR_PAINT,
+                       _carpaint_sample(mat, n, wo, u1, u2, u3), wi)
 
     # pdf + bsdf via the shared evaluators (keeps sample/eval consistent)
-    pdf = eval_pdf(mat, ns, wo, wi)
-    f = eval_bsdf(mat, ns, wo, wi)
+    pdf = eval_pdf(mat, ns, wo, wi, used=used)
+    f = eval_bsdf(mat, ns, wo, wi, used=used)
 
     # singular overrides: pdf 1, f = weight / |cos|
     cos_wi = jnp.abs(vm.dot(n, wi, keepdims=False))

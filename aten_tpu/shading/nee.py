@@ -26,7 +26,7 @@ def mis_balance(pdf_a, pdf_b):
     return jax.lax.stop_gradient(pdf_a / jnp.maximum(pdf_a + pdf_b, 1e-12))
 
 
-def nee_contribution(scene, mat, p, ns, wo, state, occluded_fn):
+def nee_contribution(scene, mat, p, ns, wo, state, occluded_fn, used=None):
     """Direct-light contribution at a batch of shading points.
 
     occluded_fn(ro, rd, dist) -> bool mask (shadow traversal, injected so
@@ -49,8 +49,8 @@ def nee_contribution(scene, mat, p, ns, wo, state, occluded_fn):
 
     wi = ls["dir"]
     cos_s = vm.dot(brdf_mod.orient_normal(ns, wo), wi, keepdims=False)
-    f = brdf_mod.eval_bsdf(mat, ns, wo, wi)
-    pdf_b = brdf_mod.eval_pdf(mat, ns, wo, wi)
+    f = brdf_mod.eval_bsdf(mat, ns, wo, wi, used=used)
+    pdf_b = brdf_mod.eval_pdf(mat, ns, wo, wi, used=used)
 
     cos_l = vm.dot(ls["nml"], -wi, keepdims=False)
 

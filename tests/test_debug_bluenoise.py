@@ -102,3 +102,33 @@ def test_blue_noise_sampler_streams(tmp_path):
     assert not np.allclose(v0, v1)  # frames decorrelated
     a, b = s.sample2d(px, py, jnp.uint32(0), jnp.uint32(2))
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_flakes_normal_map():
+    from aten_tpu.utils.flakes import make_flakes_normal_map
+
+    nm = make_flakes_normal_map(size=64, flake_scale=8, seed=1)
+    assert nm.shape == (64, 64, 3)
+    n = nm * 2.0 - 1.0
+    np.testing.assert_allclose(
+        np.linalg.norm(n, axis=-1), 1.0, atol=1e-5
+    )
+    # some flat background and some tilted flakes
+    tilted = (np.abs(n[..., 0]) > 0.05) | (np.abs(n[..., 1]) > 0.05)
+    assert 0.05 < tilted.mean() < 0.9
+    assert (n[..., 2] > 0).all()
+
+
+def test_compaction_roundtrip():
+    from aten_tpu.ops.compaction import compact, scatter_back
+
+    rng = np.random.default_rng(4)
+    alive = jnp.asarray(rng.uniform(size=64) < 0.4)
+    x = jnp.asarray(rng.normal(size=(64, 3)).astype(np.float32))
+    perm, count, (g,) = compact(alive, x)
+    assert int(count) == int(np.asarray(alive).sum())
+    # live lanes first, original relative order preserved
+    live_ids = np.nonzero(np.asarray(alive))[0]
+    np.testing.assert_array_equal(np.asarray(perm)[: len(live_ids)], live_ids)
+    (back,) = scatter_back(perm, g)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
