@@ -139,7 +139,7 @@ def main(argv=None):
     elif args.integrator == "restir":
         from aten_tpu.integrator.restir import ReSTIRRenderer
 
-        r = ReSTIRRenderer(scene, cam, max_depth=args.max_depth)
+        r = ReSTIRRenderer(scene, cam)
         for _ in range(args.spp):
             img = r.render_frame()
     elif args.integrator == "ao":

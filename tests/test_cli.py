@@ -129,3 +129,31 @@ def test_obj_tool_combine_separate(tmp_path, quad_obj):
     assert main(["separate", quad_obj, "-o", outdir]) == 0
     files = sorted(os.listdir(outdir))
     assert files == ["quad_a.obj", "quad_b.obj"]
+
+
+@pytest.mark.parametrize("integrator", ["npr", "volume"])
+def test_render_cli_other_integrators(tmp_path, integrator):
+    """Integrator branches of the CLI must run end-to-end (npr/volume;
+    svgf/restir compile too slowly at odd sizes for the default suite —
+    their constructors are covered below and their renders by
+    test_svgf/test_restir)."""
+    from aten_tpu.cli.render import main
+
+    scene = {"npr": "cornell", "volume": "volume"}[integrator]
+    out = str(tmp_path / f"{integrator}.png")
+    rc = main(["--scene", scene, "--integrator", integrator,
+               "--width", "16", "--height", "16", "--spp", "2",
+               "--max-depth", "3", "-o", out])
+    assert rc == 0 and os.path.exists(out)
+
+
+def test_cli_heavy_integrator_constructors():
+    """Regression guard for the CLI's renderer-object constructions (the
+    restir branch once passed an unsupported max_depth kwarg)."""
+    from aten_tpu.denoise.svgf import SVGFDenoiser
+    from aten_tpu.integrator.restir import ReSTIRRenderer
+    from aten_tpu.scene.scenedefs import cornell_box
+
+    scene, cam = cornell_box(16, 16)
+    ReSTIRRenderer(scene, cam)      # exactly the CLI call signature
+    SVGFDenoiser(cam.width, cam.height)
