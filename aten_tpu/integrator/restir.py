@@ -182,7 +182,11 @@ def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
     r = _empty_reservoir(N, vz)
 
     # ---- initial candidates (GenerateInitialCandidate, restir_impl.h:127)
-    for k in range(M_CANDIDATES):
+    # lax.scan instead of a 16x unrolled Python loop: the body traces
+    # once (compile time was minutes at odd sizes); the sampler state
+    # threads through the carry, so the sample stream is unchanged.
+    def _candidate_body(carry, _):
+        st, r = carry
         u_pick, st = smp.next_1d(st)
         ua, ub, st = smp.next_2d(st)
         uc, st = smp.next_1d(st)
@@ -191,16 +195,21 @@ def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
             (u_pick * num_lights).astype(jnp.int32), jnp.int32(num_lights - 1)
         )
         ls = sample_light(scene, lidx, h["p"], uc, (ua, ub))
-        yf, ls = _light_sample_to_y(scene, ls, lidx)
+        yf, ls2 = _light_sample_to_y(scene, ls, lidx)
         contrib, target, wi, dist = _eval_candidate(
             mat, h["p"], h["ns"], wo, dict(yf, kind=yf["kind"])
         )
         # proposal pdf in the sample's own measure
         pdf_sel = jnp.float32(1.0 / max(num_lights, 1))
-        q = jnp.where(ls["singular"], pdf_sel, ls["pdf"] * pdf_sel)
+        q = jnp.where(ls2["singular"], pdf_sel, ls2["pdf"] * pdf_sel)
         w = jnp.where(q > 0, target / jnp.maximum(q, 1e-20), 0.0)
         y = dict(yf, target=target)
         r = _reservoir_update(r, y, w, ur)
+        return (st, r), None
+
+    (st, r), _ = jax.lax.scan(
+        _candidate_body, (st, r), None, length=M_CANDIDATES
+    )
     r = _finalize_W(r)
 
     # ---- visibility of the winner (EvaluateVisibility, restir_impl.h:219)
@@ -227,7 +236,9 @@ def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
     # ---- spatial reuse (ApplySpatialReuse, restir_impl.h:446)
     ix = pix.astype(jnp.int32) % width
     iy = pix.astype(jnp.int32) // width
-    for k in range(SPATIAL_NEIGHBORS):
+
+    def _spatial_body(carry, _):
+        st, r = carry
         ua, ub, st = smp.next_2d(st)
         us, st = smp.next_1d(st)
         dx = ((ua * 2.0 - 1.0) * SPATIAL_RADIUS).astype(jnp.int32)
@@ -251,6 +262,11 @@ def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
             )
             for k2 in r
         }
+        return (st, r), None
+
+    (st, r), _ = jax.lax.scan(
+        _spatial_body, (st, r), None, length=SPATIAL_NEIGHBORS
+    )
 
     # ---- final shade (ComputePixelColor, restir_impl.h:583)
     contrib, target, wi_f, dist_f = _eval_candidate(mat, h["p"], h["ns"], wo, r)
