@@ -166,6 +166,14 @@ def atrous_filter(color, variance, aovs, params: SVGFParams):
     depth = aovs["depth"]
     history_color = color
 
+    # Screen-space depth gradients: the canonical SVGF depth weight
+    # divides by the EXPECTED depth change along the offset
+    # (|grad_z . (q-p)|), so oblique surfaces (fast depth ramps, e.g. a
+    # floor seen at grazing angle) keep their same-plane neighbors
+    # instead of rejecting them — the fix for dark seam outlines.
+    dzdx = 0.5 * (_shift(depth, 0, 1) - _shift(depth, 0, -1))
+    dzdy = 0.5 * (_shift(depth, 1, 0) - _shift(depth, -1, 0))
+
     for it in range(params.atrous_iters):
         step = 1 << it
         lum_p = luminance(color)[..., 0]
@@ -182,8 +190,10 @@ def atrous_filter(color, variance, aovs, params: SVGFParams):
                 l_q = luminance(c_q)[..., 0]
                 z_q = _shift(depth, dy, dx)
                 n_q = _shift(normal, dy, dx)
+                expected_dz = jnp.abs(dzdx * dx + dzdy * dy)
                 w_z = jnp.exp(
-                    -jnp.abs(z_q - depth) / (params.sigma_z * abs(step) + 1e-4)
+                    -jnp.abs(z_q - depth)
+                    / (params.sigma_z * (expected_dz + 1e-2) + 1e-4)
                 )
                 w_n = jnp.maximum(jnp.sum(n_q * normal, axis=-1), 0.0) ** params.sigma_n
                 w_l = jnp.exp(
