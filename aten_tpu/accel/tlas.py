@@ -47,7 +47,8 @@ def _transform_box(l2w: np.ndarray, bmin: np.ndarray, bmax: np.ndarray):
     return w.min(axis=0), w.max(axis=0)
 
 
-def build_two_level(obj_prim_boxes, inst_obj, inst_l2w, leaf_max=LEAF_MAX):
+def build_two_level(obj_prim_boxes, inst_obj, inst_l2w, leaf_max=LEAF_MAX,
+                    return_pieces=False):
     """Build the unified two-level node pool.
 
     obj_prim_boxes: list over objects of (bmin [P,3], bmax [P,3],
@@ -144,7 +145,7 @@ def build_two_level(obj_prim_boxes, inst_obj, inst_l2w, leaf_max=LEAF_MAX):
     inst_w2l[I] = np.eye(4, dtype=np.float32)[:3, :4]
     inst_nmtx[I] = np.eye(3, dtype=np.float32)
 
-    return {
+    out = {
         "tl_bmin": tl_bmin, "tl_bmax": tl_bmax,
         "tl_hit": tl_hit, "tl_miss": tl_miss,
         "tl_ps": tl_ps, "tl_pc": tl_pc, "tl_inst": tl_inst,
@@ -153,6 +154,14 @@ def build_two_level(obj_prim_boxes, inst_obj, inst_l2w, leaf_max=LEAF_MAX):
         "inst_w2l": inst_w2l, "inst_nmtx": inst_nmtx,
         "inst_l2w": inst_l2w.reshape(I, 4, 4)[:, :3, :4],
     }
+    if return_pieces:
+        # raw build pieces for the Pallas instanced-treelet layout:
+        # per-object BLAS dicts, the TLAS dict, and the pool offsets
+        out["_pieces"] = {
+            "blas": blas, "tlas": tlas, "blas_base": blas_base,
+            "prim_base": prim_base, "Kt": Kt, "inst_obj": inst_obj,
+        }
+    return out
 
 
 def _safe_inv(rd):
@@ -186,6 +195,12 @@ def traverse_two_level(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     parameter is shared across levels (the reference does the same —
     threaded_bvh_traverser.h:160 transforms without renormalizing).
     """
+    if "tt_nodes" in scene and jax.default_backend() == "tpu":
+        from aten_tpu.ops.traverse_pallas import traverse_pallas_tlas
+
+        return traverse_pallas_tlas(
+            scene, ro, rd, t_max=t_max, any_hit=any_hit, t_min=t_min
+        )
     ro = jax.lax.stop_gradient(ro)
     rd = jax.lax.stop_gradient(rd)
     N = ro.shape[0]

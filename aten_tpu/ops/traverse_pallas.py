@@ -538,6 +538,417 @@ def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
     )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
 
 
+# ---------------------------------------------------------------------------
+# Instanced (TLAS/BLAS) treelet variant.
+#
+# Extends the treelet kernel with the two-level instance walk of
+# accel/tlas.py: the TLAS and every BLAS top (treelet-cut at <=
+# TREELET_MAX prims) are resident in VMEM as one node pool; TLAS leaves
+# carry the instance id and link to their object's BLAS root.  Entering
+# an instance latches {resume link, instance id} and transforms the
+# whole TILE's rays by the instance W2L (rows resident in VMEM); BLAS
+# "fell off" links (-2) restore the world-space rays and resume at the
+# latched top-layer link.  Prim rows are OBJECT-LOCAL (matching the
+# local rays) and stream from HBM exactly like the single-level treelet
+# path.  Node row lanes add: 10 = inst (TLAS leaves, else -1).
+# Matrix row lanes: 0-11 = W2L 3x4 row-major.
+# ---------------------------------------------------------------------------
+
+
+def _treelet_cut(bvh, P_total, treelet_max):
+    """Preorder cut of one threaded-BVH dict: returns (keep old ids,
+    is_fat flags, prefix[K+1] prim counts before each node)."""
+    nhit = np.asarray(bvh["nodes_hit"], np.int64)
+    nmiss = np.asarray(bvh["nodes_miss"], np.int64)
+    nps = np.asarray(bvh["nodes_prim_start"], np.int64)
+    npc = np.asarray(bvh["nodes_prim_count"], np.int64)
+    K = nhit.shape[0]
+    prefix = np.zeros(K + 1, np.int64)
+    prefix[1:] = np.cumsum(np.where(nps >= 0, npc, 0))
+
+    keep, is_fat = [], []
+    i = 0
+    while i != -1:
+        skip = nmiss[i]
+        end = P_total if skip < 0 else prefix[skip]
+        cnt = end - prefix[i]
+        if nps[i] >= 0 or cnt <= treelet_max:
+            keep.append(i)
+            is_fat.append(True)
+            i = int(nmiss[i])
+        else:
+            keep.append(i)
+            is_fat.append(False)
+            i = i + 1
+    return keep, is_fat, prefix, nhit, nmiss
+
+
+def build_tlas_treelet_layout(pieces, tl_prim_order, inst_w2l,
+                              tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
+                              num_tris, treelet_max=TREELET_MAX):
+    """Build the instanced pool from build_two_level(return_pieces=True)."""
+    blas = pieces["blas"]
+    tlas = pieces["tlas"]
+    prim_base = pieces["prim_base"]
+    inst_obj = np.asarray(pieces["inst_obj"], np.int64)
+    order = np.asarray(tl_prim_order, np.int64)
+    P = order.shape[0]
+    I = inst_obj.shape[0]
+
+    # cut each BLAS; gather kept-node info
+    cuts = []
+    for o, b in enumerate(blas):
+        P_obj = np.asarray(b["prim_order"]).shape[0]
+        cuts.append(_treelet_cut(b, P_obj, treelet_max))
+
+    Kt = tlas["nodes_bmin"].shape[0]
+    top_base = np.empty(len(blas), np.int64)
+    base = Kt
+    for o, (keep, _, _, _, _) in enumerate(cuts):
+        top_base[o] = base
+        base += len(keep)
+    K = base
+    Kp = -(-K // ROWS) * ROWS
+
+    nodes = np.zeros((Kp, LANES), np.float32)
+    ints = np.full((Kp, 5), -1, np.int32)  # hit, miss, start, count, inst
+    ints[:, 3] = 0
+
+    # TLAS nodes
+    nodes[:Kt, 0:3] = np.asarray(tlas["nodes_bmin"], np.float32)
+    nodes[:Kt, 3:6] = np.asarray(tlas["nodes_bmax"], np.float32)
+    ints[:Kt, 0] = tlas["nodes_hit"]
+    ints[:Kt, 1] = tlas["nodes_miss"]
+    for k in range(Kt):
+        ps = tlas["nodes_prim_start"][k]
+        if ps >= 0:  # leaf = one instance (leaf_max=1 at TLAS build)
+            iid = int(tlas["prim_order"][ps])
+            ints[k, 4] = iid
+            ints[k, 0] = top_base[inst_obj[iid]]  # hit -> BLAS-top root
+
+    for o, b in enumerate(blas):
+        keep, is_fat, prefix, nhit, nmiss = cuts[o]
+        new_of = {int(old): n for n, old in enumerate(keep)}
+        s = int(top_base[o])
+        bmin = np.asarray(b["nodes_bmin"], np.float32)
+        bmax = np.asarray(b["nodes_bmax"], np.float32)
+        P_obj = np.asarray(b["prim_order"]).shape[0]
+        for n, (old, fat) in enumerate(zip(keep, is_fat)):
+            g = s + n
+            nodes[g, 0:3] = bmin[old]
+            nodes[g, 3:6] = bmax[old]
+            miss = int(nmiss[old])
+            miss_new = -2 if miss < 0 else s + new_of[miss]
+            if fat:
+                end = P_obj if miss < 0 else prefix[miss]
+                ints[g, 0] = miss_new
+                ints[g, 1] = miss_new
+                ints[g, 2] = prefix[old] + prim_base[o]
+                ints[g, 3] = end - prefix[old]
+            else:
+                ints[g, 0] = s + new_of[int(old) + 1]
+                ints[g, 1] = miss_new
+    nodes[:, 6:11] = ints.view(np.float32)
+
+    # prim rows in tl_prim_order (object-local coordinates), CHUNK-padded
+    Pp = (-(-P // CHUNK) + 1) * CHUNK
+    prims = np.zeros((Pp, LANES), np.float32)
+    is_tri = order < num_tris
+    tid = np.clip(order, 0, max(len(tri_v0) - 1, 0))
+    sid = np.clip(order - num_tris, 0, max(len(sph_center) - 1, 0))
+    prims[:P, 0:3] = np.where(is_tri[:, None], np.asarray(tri_v0)[tid], 0.0)
+    prims[:P, 3:6] = np.where(is_tri[:, None], np.asarray(tri_e1)[tid], 0.0)
+    prims[:P, 6:9] = np.where(is_tri[:, None], np.asarray(tri_e2)[tid], 0.0)
+    prims[:P, 9:12] = np.where(~is_tri[:, None], np.asarray(sph_center)[sid], 0.0)
+    prims[:P, 12] = np.where(~is_tri, np.asarray(sph_radius)[sid], 0.0)
+    pints = np.zeros((Pp, 2), np.int32)
+    pints[:P, 0] = order
+    pints[:P, 1] = is_tri.astype(np.int32)
+    prims[:, 13:15] = pints.view(np.float32)
+
+    # instance W2L rows ([I+1,128], last row identity — unused by kernel
+    # but keeps indexing safe); lanes 0-11 = 3x4 row-major
+    w2l = np.asarray(inst_w2l, np.float32)  # [I+1,3,4]
+    Ip = -(-(I + 1) // ROWS) * ROWS
+    mats = np.zeros((Ip, LANES), np.float32)
+    mats[: I + 1, 0:12] = w2l.reshape(I + 1, 12)
+    return {"tt_nodes": nodes, "tt_prims": prims, "tt_mats": mats}
+
+
+def _make_tlas_treelet_kernel(any_hit: bool, t_min: float):
+    def f2i(x):
+        return pltpu.bitcast(x, jnp.int32)
+
+    def kernel(
+        nodes_ref, mats_ref, prims_hbm,
+        rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref, t0_ref,
+        tout_ref, pout_ref, iout_ref, uout_ref, vout_ref,
+        scratch_ref, sem_ref,
+    ):
+        wox, woy, woz = rox_ref[:], roy_ref[:], roz_ref[:]
+        wdx, wdy, wdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
+
+        def safe_inv(d):
+            return jnp.where(
+                jnp.abs(d) > 1e-12, 1.0 / jnp.where(d == 0, 1.0, d), 1e12
+            )
+
+        def bsel(cond_scalar, a, b):
+            return jnp.where(
+                jnp.broadcast_to(cond_scalar, a.shape), a, b
+            )
+
+        def test_prim_row(prow, ok, rox, roy, roz, rdx, rdy, rdz,
+                          inst, t, prim, binst, u, v):
+            v0x, v0y, v0z = prow[0, 0], prow[0, 1], prow[0, 2]
+            e1x, e1y, e1z = prow[0, 3], prow[0, 4], prow[0, 5]
+            e2x, e2y, e2z = prow[0, 6], prow[0, 7], prow[0, 8]
+            cx, cy, cz, rr = prow[0, 9], prow[0, 10], prow[0, 11], prow[0, 12]
+            pirow = f2i(prow)
+            pid = pirow[0, 13]
+            istri = pirow[0, 14] > 0
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(
+                jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+            )
+            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            h_tri = (
+                (jnp.abs(det) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
+                & (uu + vv <= 1.0) & (tt > t_min)
+            )
+            # sphere: general quadratic (local rays are non-unit)
+            ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+            a2 = rdx * rdx + rdy * rdy + rdz * rdz
+            b2 = ocx * rdx + ocy * rdy + ocz * rdz
+            cc = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+            disc = b2 * b2 - a2 * cc
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            inv_a = 1.0 / jnp.maximum(a2, 1e-20)
+            ts0 = (-b2 - sq) * inv_a
+            ts1 = (-b2 + sq) * inv_a
+            ts = jnp.where(ts0 > t_min, ts0, ts1)
+            h_sph = (disc > 0.0) & (ts > t_min)
+            tp = jnp.where(istri, tt, ts)
+            hp = ((h_tri & istri) | (h_sph & jnp.logical_not(istri))) & ok
+            closer = hp & (tp < t)
+            t = jnp.where(closer, tp, t)
+            prim = jnp.where(closer, pid, prim)
+            binst = jnp.where(closer, inst, binst)
+            u = jnp.where(closer, jnp.where(istri, uu, 0.0), u)
+            v = jnp.where(closer, jnp.where(istri, vv, 0.0), v)
+            return t, prim, binst, u, v
+
+        t_init = t0_ref[:]
+        prim0 = jnp.full((ROWS, LANES), -1, jnp.int32)
+        zero = jnp.zeros((ROWS, LANES), jnp.float32)
+
+        def cond(c):
+            return c[0] != -1
+
+        def body(c):
+            (cur, resume, inst, rox, roy, roz, rdx, rdy, rdz,
+             t, prim, binst, u, v) = c
+            # pop back to the top layer where a BLAS walk fell off (-2)
+            pop = cur == -2
+            cur = jnp.where(pop, resume, cur)
+            inst = jnp.where(pop, -1, inst)
+            rox = bsel(pop, wox, rox)
+            roy = bsel(pop, woy, roy)
+            roz = bsel(pop, woz, roz)
+            rdx = bsel(pop, wdx, rdx)
+            rdy = bsel(pop, wdy, rdy)
+            rdz = bsel(pop, wdz, rdz)
+
+            # a pop may land on resume == -1 (tree exhausted): everything
+            # below must be inert or the clamped node-0 read would revive
+            # the cursor and loop forever (TPU watchdog kill)
+            active = cur >= 0
+            curc = jnp.maximum(cur, 0)
+            row = nodes_ref[pl.ds(curc, 1), :]
+            bminx, bminy, bminz = row[0, 0], row[0, 1], row[0, 2]
+            bmaxx, bmaxy, bmaxz = row[0, 3], row[0, 4], row[0, 5]
+            irow = f2i(row)
+            hitl, missl = irow[0, 6], irow[0, 7]
+            start, count = irow[0, 8], irow[0, 9]
+            inst_field = irow[0, 10]
+
+            ivx, ivy, ivz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+            t0x = (bminx - rox) * ivx
+            t1x = (bmaxx - rox) * ivx
+            t0y = (bminy - roy) * ivy
+            t1y = (bmaxy - roy) * ivy
+            t0z = (bminz - roz) * ivz
+            t1z = (bmaxz - roz) * ivz
+            tenter = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            texit = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            if any_hit:
+                want = prim < 0
+            else:
+                want = jnp.full_like(prim, True, dtype=jnp.bool_)
+            hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
+            anyhit = jnp.any(hitv) & active
+            enter_blk = (start >= 0) & anyhit
+            enter_inst = (inst_field >= 0) & anyhit
+
+            def stream_block(carry):
+                t, prim, binst, u, v = carry
+
+                def chunk_cond(cc):
+                    return cc[0] * CHUNK < count
+
+                def chunk_body(cc):
+                    ci, t, prim, binst, u, v = cc
+                    dma = pltpu.make_async_copy(
+                        prims_hbm.at[pl.ds(start + ci * CHUNK, CHUNK), :],
+                        scratch_ref,
+                        sem_ref,
+                    )
+                    dma.start()
+                    dma.wait()
+
+                    def row_body(k, acc):
+                        t, prim, binst, u, v = acc
+                        ok = (ci * CHUNK + k) < count
+                        prow = scratch_ref[pl.ds(k, 1), :]
+                        return test_prim_row(
+                            prow, ok, rox, roy, roz, rdx, rdy, rdz,
+                            inst, t, prim, binst, u, v,
+                        )
+
+                    t, prim, binst, u, v = jax.lax.fori_loop(
+                        0, CHUNK, row_body, (t, prim, binst, u, v),
+                        unroll=CHUNK,
+                    )
+                    return (ci + 1, t, prim, binst, u, v)
+
+                _, t, prim, binst, u, v = jax.lax.while_loop(
+                    chunk_cond, chunk_body, (jnp.int32(0), t, prim, binst, u, v)
+                )
+                return t, prim, binst, u, v
+
+            t, prim, binst, u, v = jax.lax.cond(
+                enter_blk, stream_block, lambda x: x, (t, prim, binst, u, v)
+            )
+
+            # enter an instance: latch resume + transform the tile's rays
+            mrow = mats_ref[pl.ds(jnp.maximum(inst_field, 0), 1), :]
+            lox = mrow[0, 0] * wox + mrow[0, 1] * woy + mrow[0, 2] * woz + mrow[0, 3]
+            loy = mrow[0, 4] * wox + mrow[0, 5] * woy + mrow[0, 6] * woz + mrow[0, 7]
+            loz = mrow[0, 8] * wox + mrow[0, 9] * woy + mrow[0, 10] * woz + mrow[0, 11]
+            ldx = mrow[0, 0] * wdx + mrow[0, 1] * wdy + mrow[0, 2] * wdz
+            ldy = mrow[0, 4] * wdx + mrow[0, 5] * wdy + mrow[0, 6] * wdz
+            ldz = mrow[0, 8] * wdx + mrow[0, 9] * wdy + mrow[0, 10] * wdz
+            resume = jnp.where(enter_inst, missl, resume)
+            inst = jnp.where(enter_inst, inst_field, inst)
+            rox = bsel(enter_inst, lox, rox)
+            roy = bsel(enter_inst, loy, roy)
+            roz = bsel(enter_inst, loz, roz)
+            rdx = bsel(enter_inst, ldx, rdx)
+            rdy = bsel(enter_inst, ldy, rdy)
+            rdz = bsel(enter_inst, ldz, rdz)
+
+            nxt = jnp.where(active, jnp.where(anyhit, hitl, missl), cur)
+            if any_hit:
+                nxt = jnp.where(jnp.all(prim >= 0), -1, nxt)
+            return (nxt, resume, inst, rox, roy, roz, rdx, rdy, rdz,
+                    t, prim, binst, u, v)
+
+        init = (
+            jnp.int32(0), jnp.int32(-1), jnp.int32(-1),
+            wox, woy, woz, wdx, wdy, wdz,
+            t_init, prim0, prim0, zero, zero,
+        )
+        out = jax.lax.while_loop(cond, body, init)
+        tout_ref[:] = out[9]
+        pout_ref[:] = out[10]
+        iout_ref[:] = out[11]
+        uout_ref[:] = out[12]
+        vout_ref[:] = out[13]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit", "t_min"))
+def _traverse_tlas_treelet_tiles(nodes, mats, prims, rox, roy, roz,
+                                 rdx, rdy, rdz, t0, any_hit=False, t_min=1e-4):
+    g = rox.shape[0] // ROWS
+    kernel = _make_tlas_treelet_kernel(any_hit, float(t_min))
+    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rox.shape, jnp.int32),
+        jax.ShapeDtypeStruct(rox.shape, jnp.int32),
+        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
+    ]
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # node pool
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # instance matrices
+            pl.BlockSpec(memory_space=pltpu.ANY),    # prim rows in HBM
+        ] + [ray_spec] * 7,
+        out_specs=[ray_spec] * 5,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((CHUNK, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(nodes, mats, prims, rox, roy, roz, rdx, rdy, rdz, t0)
+
+
+def traverse_pallas_tlas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
+    """Instanced-scene kernel entry (drop-in for tlas.traverse_two_level)."""
+    ro = jax.lax.stop_gradient(ro)
+    rd = jax.lax.stop_gradient(rd)
+    N = ro.shape[0]
+    Np = -(-N // TILE) * TILE
+    padn = Np - N
+
+    if t_max is None:
+        t0 = jnp.full((N,), 3.4e38, jnp.float32)
+    else:
+        t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (N,))
+
+    def prep(x, fill=0.0):
+        x = jnp.pad(x, ((0, padn),), constant_values=fill)
+        return x.reshape(-1, LANES)
+
+    rox = prep(ro[:, 0])
+    roy = prep(ro[:, 1])
+    roz = prep(ro[:, 2])
+    rdx = prep(rd[:, 0])
+    rdy = prep(rd[:, 1])
+    rdz = prep(rd[:, 2], fill=1.0)
+    t0p = prep(t0, fill=-1.0)
+
+    t, prim, binst, u, v = _traverse_tlas_treelet_tiles(
+        scene["tt_nodes"], scene["tt_mats"], scene["tt_prims"],
+        rox, roy, roz, rdx, rdy, rdz, t0p,
+        any_hit=any_hit, t_min=t_min,
+    )
+    flat = lambda x: x.reshape(-1)[:N]
+    prim = flat(prim)
+    return {"t": flat(t), "prim": prim, "u": flat(u), "v": flat(v),
+            "hit": prim >= 0, "inst": flat(binst)}
+
+
 def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     """Drop-in replacement for accel.traverse.traverse on TPU.
 

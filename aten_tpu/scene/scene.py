@@ -334,8 +334,26 @@ class SceneBuilder:
                 obj_prim_boxes.append((all_bmin[pids], all_bmax[pids], pids))
             inst_obj = np.asarray([i[0] for i in instances], np.int32)
             inst_l2w = np.stack([i[1] for i in instances])
-            bvh = build_two_level(obj_prim_boxes, inst_obj, inst_l2w)
+            bvh = build_two_level(
+                obj_prim_boxes, inst_obj, inst_l2w, return_pieces=True
+            )
+            pieces = bvh.pop("_pieces")
             num_instances = len(instances)
+            # Pallas instanced-treelet layout: TLAS + BLAS tops resident
+            # (<= ~4 MB of 512 B node rows), prim blocks streamed from HBM
+            if (pieces["Kt"] + sum(
+                b["nodes_bmin"].shape[0] for b in pieces["blas"]
+            )) * 512 < 64 * 1024 * 1024:  # rough sanity cap on host work
+                from aten_tpu.ops.traverse_pallas import (
+                    build_tlas_treelet_layout,
+                )
+
+                tt = build_tlas_treelet_layout(
+                    pieces, bvh["tl_prim_order"], bvh["inst_w2l"],
+                    tv0, te1, te2, sc, sr, num_tris,
+                )
+                if tt["tt_nodes"].shape[0] * 512 < 4 * 1024 * 1024:
+                    bvh.update(tt)
         else:
             bvh = None
             cache = getattr(self, "_bvh_cache", None)

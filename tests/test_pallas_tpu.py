@@ -76,3 +76,58 @@ def test_treelet_any_hit_occlusion():
     np.testing.assert_array_equal(
         np.asarray(h0["hit"]), np.asarray(h1["hit"])
     )
+
+
+@tpu_only
+def test_tlas_treelet_kernel_parity_instanced():
+    """Instanced scene (many instances of a dragon-chunk object) must
+    match the XLA two-level walk: same hits, prims, instances, t."""
+    import numpy as np
+
+    from aten_tpu.accel.tlas import traverse_two_level
+    from aten_tpu.ops.traverse_pallas import traverse_pallas_tlas
+    from aten_tpu.scene.materials import MaterialType
+    from aten_tpu.scene.scene import SceneBuilder
+
+    rng = np.random.default_rng(0)
+    sb = SceneBuilder()
+    m = sb.add_material(MaterialType.DIFFUSE, base_color=(0.6, 0.6, 0.6))
+    o = sb.create_object()
+    # a 400-tri blobby object (object-local coords)
+    centers = rng.uniform(-1, 1, (400, 3)).astype(np.float32)
+    tris = centers[:, None, :] + rng.uniform(-0.15, 0.15, (400, 3, 3)).astype(np.float32)
+    sb.add_mesh(tris.reshape(-1, 3), np.arange(1200).reshape(-1, 3), m, obj=o)
+    for i in range(4):
+        for j in range(4):
+            mtx = np.eye(4, dtype=np.float32)
+            mtx[:3, 3] = (i * 3.0 - 4.5, 0.0, j * 3.0 - 4.5)
+            sb.add_instance(o, mtx)
+    scene = sb.build()
+    assert "tt_nodes" in scene
+
+    n = 96
+    gx, gy = np.meshgrid(
+        np.linspace(-6, 6, n, dtype=np.float32),
+        np.linspace(-2, 2, n, dtype=np.float32),
+    )
+    ro = np.stack(
+        [gx, gy, np.full((n, n), 8.0, np.float32)], -1
+    ).reshape(-1, 3)
+    ro = jnp.asarray(ro)
+    rd = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]], jnp.float32), (n * n, 1))
+
+    # force the XLA oracle by temporarily hiding the pallas arrays
+    oracle_scene = scene.drop("tt_nodes", "tt_prims", "tt_mats")
+    h0 = traverse_two_level(oracle_scene, ro, rd)
+    h1 = traverse_pallas_tlas(scene, ro, rd)
+    np.testing.assert_array_equal(np.asarray(h0["hit"]), np.asarray(h1["hit"]))
+    m0, m1 = np.asarray(h0["prim"]), np.asarray(h1["prim"])
+    assert (m0 == m1).mean() > 0.999
+    mask = (m0 >= 0) & (m0 == m1)
+    np.testing.assert_array_equal(
+        np.asarray(h0["inst"])[mask], np.asarray(h1["inst"])[mask]
+    )
+    np.testing.assert_allclose(
+        np.asarray(h0["t"])[mask], np.asarray(h1["t"])[mask],
+        rtol=1e-4, atol=1e-4,
+    )

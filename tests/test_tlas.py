@@ -190,3 +190,30 @@ def test_instanced_render_smoke():
     )
     assert np.isfinite(img).all()
     assert img.max() > 0.0
+
+
+def test_instanced_pallas_layout_well_formed():
+    """The tt_* instanced-kernel arrays: links in pool range (or the
+    -1/-2 sentinels), TLAS leaves point at their object's BLAS root,
+    fat-leaf prim ranges stay inside the padded prim rows."""
+    pos, faces = _sphere_mesh(n=10)
+    sb = SceneBuilder()
+    m = sb.add_material(MaterialType.DIFFUSE, base_color=(0.7, 0.7, 0.7))
+    o = sb.create_object()
+    sb.add_mesh(pos, faces, m, obj=o)
+    for k in range(5):
+        sb.add_instance(o, _translate((k * 3.0, 0.0, 0.0)))
+    sc = sb.build()
+    assert "tt_nodes" in sc
+    nodes = np.asarray(sc["tt_nodes"])
+    ints = nodes[:, 6:11].view(np.int32)
+    K = nodes.shape[0]
+    hit, miss, start, count, inst = (ints[:, k] for k in range(5))
+    assert ((hit >= -2) & (hit < K)).all()
+    assert ((miss >= -2) & (miss < K)).all()
+    P_rows = np.asarray(sc["tt_prims"]).shape[0]
+    fat = start >= 0
+    assert ((start[fat] + count[fat]) <= P_rows).all()
+    # every instance appears at exactly one TLAS leaf
+    leaves = inst[inst >= 0]
+    assert sorted(leaves.tolist()) == list(range(5))
