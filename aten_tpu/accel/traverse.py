@@ -157,7 +157,12 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
             scene, ro, rd, t_max=t_max, any_hit=any_hit, t_min=t_min
         )
     num_prims = scene["num_tris"] + scene["num_spheres"]
-    if impl == "dense" or (impl == "auto" and num_prims <= DENSE_MAX_PRIMS):
+    # Voxel LOD (accel/voxel.py) lives in the reference traverser below:
+    # skip the dense and Pallas fast paths when it is enabled.
+    has_lod = bool(scene.get("has_voxel_lod")) and not any_hit
+    if not has_lod and (
+        impl == "dense" or (impl == "auto" and num_prims <= DENSE_MAX_PRIMS)
+    ):
         ro = jax.lax.stop_gradient(ro)
         rd = jax.lax.stop_gradient(rd)
         if t_max is None:
@@ -165,10 +170,13 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
         else:
             t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ro.shape[0],))
         return _traverse_dense(scene, ro, rd, t0, any_hit, t_min)
-    use_pallas = impl == "pallas" or (
-        impl == "auto"
-        and ("pl_nodes" in scene or "trl_nodes" in scene)
-        and jax.default_backend() == "tpu"
+    use_pallas = not has_lod and (
+        impl == "pallas"
+        or (
+            impl == "auto"
+            and ("pl_nodes" in scene or "trl_nodes" in scene)
+            and jax.default_backend() == "tpu"
+        )
     )
     if use_pallas:
         from aten_tpu.ops.traverse_pallas import traverse_pallas
@@ -180,6 +188,7 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
     T = scene["tri_v0"].shape[0]
     S = scene["sph_center"].shape[0]
     num_tris = scene["num_tris"]
+    vox_base = num_prims  # voxel hits: prim id = vox_base + node index
     nhit = scene["nodes_hit"]
     nmiss = scene["nodes_miss"]
     nps = scene["nodes_prim_start"]
@@ -244,6 +253,22 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
             jnp.maximum(tz0, tz1),
         )
         ahit = (t_enter <= t_exit) & (t_exit > 0.0) & (t_enter < t) & active
+        if has_lod:
+            # Voxel-LOD hit (threaded_bvh_traverser.h:221-277): a voxeled
+            # interior node deep enough past the lod_depth threshold hits
+            # as a solid box at t_enter and its subtree is skipped.
+            vmtl = jnp.take(scene["nodes_voxel_mtl"], curc)
+            ndepth = jnp.take(scene["nodes_depth"], curc)
+            vox = (
+                ahit & (vmtl >= 0)
+                & (ndepth >= scene["lod_depth"]) & (t_enter > t_min)
+            )
+            closer_v = vox & (t_enter < t)
+            t = jnp.where(closer_v, t_enter, t)
+            prim = jnp.where(closer_v, vox_base + curc, prim)
+            u = jnp.where(closer_v, 0.0, u)
+            v = jnp.where(closer_v, 0.0, v)
+            ahit = ahit & ~vox  # take the miss link: skip the subtree
         ps = jnp.take(nps, curc)
         pc = jnp.take(npc, curc)
         do_leaf = ahit & (ps >= 0)

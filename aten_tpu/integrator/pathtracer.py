@@ -97,7 +97,7 @@ def eval_hit(scene, ro, rd, hit):
         ns = vm.normalize(jnp.einsum("nij,nj->ni", nmtx, ns))
         ng = vm.normalize(jnp.einsum("nij,nj->ni", nmtx, ng))
     uv = jnp.where(is_tri[..., None], uv_tri, 0.5)
-    return {
+    out = {
         "p": p,
         "ns": ns,
         "ng": ng,
@@ -105,6 +105,33 @@ def eval_hit(scene, ro, rd, hit):
         "mtl": jnp.where(is_tri, mtl_tri, mtl_sph),
         "light": jnp.where(is_tri, light_tri, light_sph),
     }
+    if scene.get("has_voxel_lod"):
+        # Voxel-LOD hit resolution (EvaluateHitResult.h voxel branch +
+        # FillMaterial's voxel color fill, material_impl.h:232-262): the
+        # "surface" is the node AABB entry face; material is the node's
+        # dominant material (accel/voxel.py).
+        vox_base = scene["num_tris"] + scene["num_spheres"]
+        is_vox = hit["prim"] >= vox_base
+        K = scene["nodes_bmin"].shape[0]
+        node = jnp.clip(hit["prim"] - vox_base, 0, K - 1)
+        nb0 = jnp.take(scene["nodes_bmin"], node, axis=0)
+        nb1 = jnp.take(scene["nodes_bmax"], node, axis=0)
+        inv = jnp.where(jnp.abs(rd) > 1e-12, 1.0 / rd, 1e12)
+        tA = (nb0 - ro) * inv
+        tB = (nb1 - ro) * inv
+        t_near_ax = jnp.minimum(tA, tB)  # [N,3] per-axis entry
+        axis = jnp.argmax(t_near_ax, axis=-1)
+        n_vox = -jnp.sign(rd) * jax.nn.one_hot(axis, 3, dtype=rd.dtype)
+        n_vox = vm.normalize(jnp.where(vm.dot(n_vox, rd) < 0, n_vox, -rd))
+        v3 = is_vox[..., None]
+        out["ns"] = jnp.where(v3, n_vox, out["ns"])
+        out["ng"] = jnp.where(v3, n_vox, out["ng"])
+        out["mtl"] = jnp.where(
+            is_vox, jnp.take(scene["nodes_voxel_mtl"], node), out["mtl"]
+        )
+        out["light"] = jnp.where(is_vox, -1, out["light"])
+        out["is_voxel"] = is_vox
+    return out
 
 
 def _trace_paths(
@@ -178,6 +205,12 @@ def _trace_paths(
         mat = tex_mod.apply_albedo(scene, mat, h["uv"])
         mat = tex_mod.apply_roughness_map(scene, mat, h["uv"])
         h["ns"] = tex_mod.apply_normal_map(scene, mat, h["ns"], h["uv"])
+        if scene.get("has_voxel_lod"):
+            # voxel hits shade as forced Diffuse (FillMaterial,
+            # material_impl.h:232-262)
+            mat["type"] = jnp.where(
+                h["is_voxel"], jnp.int32(MaterialType.DIFFUSE), mat["type"]
+            )
 
         if want_aovs:
             # First-hit G-buffer (FillAOVs, svgf_impl.h:63): normal/depth/
