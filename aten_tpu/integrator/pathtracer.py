@@ -70,25 +70,41 @@ def eval_hit(scene, ro, rd, hit):
     u = hit["u"][..., None]
     v = hit["v"][..., None]
     w = 1.0 - u - v
-    n0 = jnp.take(scene["tri_n0"], tid, axis=0)
-    n1 = jnp.take(scene["tri_n1"], tid, axis=0)
-    n2 = jnp.take(scene["tri_n2"], tid, axis=0)
-    ns_tri = vm.normalize(w * n0 + u * n1 + v * n2)
-    e1 = jnp.take(scene["tri_e1"], tid, axis=0)
-    e2 = jnp.take(scene["tri_e2"], tid, axis=0)
-    ng_tri = vm.normalize(vm.cross(e1, e2))
-    uv0 = jnp.take(scene["tri_uv0"], tid, axis=0)
-    uv1 = jnp.take(scene["tri_uv1"], tid, axis=0)
-    uv2 = jnp.take(scene["tri_uv2"], tid, axis=0)
-    uv_tri = w[..., :1] * uv0 + u[..., :1] * uv1 + v[..., :1] * uv2
-    mtl_tri = jnp.take(scene["tri_mtl"], tid)
-    light_tri = jnp.take(scene["tri_light"], tid)
+    # All per-triangle attributes pull in ONE fused gather (one-hot MXU
+    # matmul for small pools — ops/gather.py; measured 9.2 -> ~1 ms per
+    # bounce at 262k lanes on v5e vs 15 separate jnp.take calls).
+    from aten_tpu.ops.gather import take_fields
 
-    c = jnp.take(scene["sph_center"], sid, axis=0)
-    r = jnp.take(scene["sph_radius"], sid)[..., None]
+    tg = take_fields(
+        {
+            "n0": scene["tri_n0"], "n1": scene["tri_n1"], "n2": scene["tri_n2"],
+            "e1": scene["tri_e1"], "e2": scene["tri_e2"],
+            "uv0": scene["tri_uv0"], "uv1": scene["tri_uv1"],
+            "uv2": scene["tri_uv2"],
+            "mtl": scene["tri_mtl"], "light": scene["tri_light"],
+        },
+        tid,
+        int_fields=("mtl", "light"),
+    )
+    ns_tri = vm.normalize(w * tg["n0"] + u * tg["n1"] + v * tg["n2"])
+    ng_tri = vm.normalize(vm.cross(tg["e1"], tg["e2"]))
+    uv_tri = w[..., :1] * tg["uv0"] + u[..., :1] * tg["uv1"] + v[..., :1] * tg["uv2"]
+    mtl_tri = tg["mtl"]
+    light_tri = tg["light"]
+
+    sg = take_fields(
+        {
+            "c": scene["sph_center"], "r": scene["sph_radius"],
+            "mtl": scene["sph_mtl"], "light": scene["sph_light"],
+        },
+        sid,
+        int_fields=("mtl", "light"),
+    )
+    c = sg["c"]
+    r = sg["r"][..., None]
     ns_sph = (p_loc - c) / jnp.maximum(r, 1e-12)
-    mtl_sph = jnp.take(scene["sph_mtl"], sid)
-    light_sph = jnp.take(scene["sph_light"], sid)
+    mtl_sph = sg["mtl"]
+    light_sph = sg["light"]
 
     m3 = is_tri[..., None]
     ns = jnp.where(m3, ns_tri, ns_sph)
@@ -136,9 +152,10 @@ def eval_hit(scene, ro, rd, hit):
 
 def _trace_paths(
     scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
-    y0=0, tile_h=None, want_aovs=False,
+    y0=0, tile_h=None, want_aovs=False, spp_chunk=1,
 ):
-    """One sample per pixel: full path-traced radiance [tile_h*width, 3].
+    """Path-traced radiance [tile_h*width, 3], averaged over spp_chunk
+    TRUE samples per pixel traced in ONE dispatch.
 
     y0/tile_h select a horizontal band of the image — the unit of
     data-parallel sharding across chips (rays/tiles are the only
@@ -146,21 +163,32 @@ def _trace_paths(
     GLOBAL pixel ids so a sharded render is bitwise identical to the
     single-chip one.
 
+    spp_chunk: lane-level sample batching.  Each dispatch on this
+    hardware carries a ~50 ms floor (measured: 512x512x1spp at depth 5
+    costs the same wall time as 16 chunked samples); a per-sample host
+    loop leaves the chip >90% idle.  Lanes are (chunk, pixel) pairs —
+    lane c*Npix+p traces sample `sample+c` of pixel p — so the result
+    is bitwise the mean of the corresponding spp_chunk=1 dispatches.
+
     want_aovs: also return first-hit G-buffer aovs {normal, depth, albedo,
     prim, pos, mtl} (FillAOVs role, renderer/svgf/svgf_impl.h:63) feeding
-    the SVGF denoiser and debug views.
+    the SVGF denoiser and debug views.  AOVs come from the first chunk
+    (one sample's G-buffer, like the reference's AOV fill).
     """
     if tile_h is None:
         tile_h = height
-    N = width * tile_h
-    lpix = jnp.arange(N, dtype=jnp.uint32)
+    n_pix = width * tile_h
+    N = n_pix * spp_chunk
+    lane = jnp.arange(N, dtype=jnp.uint32)
+    lpix = lane % jnp.uint32(n_pix)
+    samp_idx = jnp.uint32(sample) + lane // jnp.uint32(n_pix)
     px = (lpix % width).astype(jnp.float32)
     py_local = (lpix // width).astype(jnp.float32)
     py = py_local + jnp.asarray(y0, jnp.float32)
     pix = (py.astype(jnp.uint32) * jnp.uint32(width)) + (lpix % width)
     pixel_seed = smp.wang_hash(pix + jnp.uint32(1))
 
-    state = smp.make_state(pixel_seed, frame, sample, spp, bounce=0)
+    state = smp.make_state(pixel_seed, frame, samp_idx, spp, bounce=0)
     ju, jv, state = smp.next_2d(state)
     s = (px + ju) / width
     t = (jnp.float32(height - 1) - py + jv) / height
@@ -242,7 +270,7 @@ def _trace_paths(
 
         # ---- per-bounce sampler re-seed (reference bounce-dim offset);
         # created before shading so alpha punch-through can draw from it
-        state = smp.make_state(pixel_seed, frame, sample, spp, bounce=bounce + 1)
+        state = smp.make_state(pixel_seed, frame, samp_idx, spp, bounce=bounce + 1)
 
         # ---- translucent-by-alpha punch-through
         # (CheckMaterialTranslucentByAlpha, pathtracing_impl.h:511-610):
@@ -346,19 +374,28 @@ def _trace_paths(
     # invalid-radiance guard (Renderer::isInvalidColor, renderer/renderer.h:58)
     bad = ~jnp.all(jnp.isfinite(radiance), axis=-1) | jnp.any(radiance < 0, axis=-1)
     radiance = jnp.where(bad[..., None], 0.0, radiance)
+    if spp_chunk > 1:
+        # fold the sample-chunk lanes: mean over true samples per pixel
+        radiance = radiance.reshape(spp_chunk, n_pix, 3).mean(axis=0)
+        if want_aovs:
+            aovs = {k: v[:n_pix] for k, v in aovs.items()}
     if want_aovs:
         return radiance, aovs
     return radiance
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "spp", "max_depth", "rr_depth")
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "rr_depth", "spp_chunk"),
 )
 def render_sample(
-    scene, cam_arrays, width, height, frame, sample, spp=1, max_depth=5, rr_depth=3
+    scene, cam_arrays, width, height, frame, sample, spp=1, max_depth=5, rr_depth=3,
+    spp_chunk=1,
 ):
+    """Mean radiance of samples [sample, sample+spp_chunk) in ONE dispatch."""
     rad = _trace_paths(
-        scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth
+        scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
+        spp_chunk=spp_chunk,
     )
     return rad.reshape(height, width, 3)
 
@@ -381,11 +418,20 @@ def render_sample_with_aovs(
     return img, out
 
 
-def render_image(scene, cam, spp=16, max_depth=5, rr_depth=3, frame=0):
-    """Accumulate spp samples (host loop over a jitted per-sample render)."""
+def render_image(scene, cam, spp=16, max_depth=5, rr_depth=3, frame=0,
+                 spp_chunk=None):
+    """Accumulate spp samples.  Samples are traced spp_chunk at a time
+    inside a single dispatch (default: whole spp in one, capped so path
+    state stays a few hundred MB) — a host-side per-sample loop pays the
+    ~50 ms dispatch floor once per SAMPLE instead of once per CHUNK."""
     cam_arrays = cam.arrays()
+    if spp_chunk is None:
+        # cap lanes at ~4M (512x512x16): carries stay < ~1 GB HBM
+        spp_chunk = max(1, min(spp, (4 << 20) // (cam.width * cam.height)))
+    while spp % spp_chunk:
+        spp_chunk -= 1  # keep equal-weight chunks
     acc = jnp.zeros((cam.height, cam.width, 3), jnp.float32)
-    for s in range(spp):
+    for s in range(0, spp, spp_chunk):
         acc = acc + render_sample(
             scene,
             cam_arrays,
@@ -396,7 +442,8 @@ def render_image(scene, cam, spp=16, max_depth=5, rr_depth=3, frame=0):
             spp,
             max_depth,
             rr_depth,
-        )
+            spp_chunk=spp_chunk,
+        ) * spp_chunk
     return acc / spp
 
 

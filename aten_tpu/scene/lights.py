@@ -205,7 +205,13 @@ def sample_light(scene, light_idx, p, u1, uv):
     """Dispatch over light type (masked select). light_idx: int32 [N]."""
     lights = scene["lights"]
     li = jnp.clip(light_idx, 0, lights["type"].shape[0] - 1)
-    lrow = {k: jnp.take(v, li, axis=0) for k, v in lights.items() if k not in ("tri_cdf", "num")}
+    from aten_tpu.ops.gather import take_fields
+
+    fields = {k: v for k, v in lights.items() if k not in ("tri_cdf", "num")}
+    lrow = take_fields(
+        fields, li,
+        int_fields=tuple(k for k, v in fields.items() if v.dtype == jnp.int32),
+    )
     lrow["_index"] = li
     ltype = lrow["type"]
 

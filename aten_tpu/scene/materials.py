@@ -93,6 +93,16 @@ class MaterialTable:
 
 
 def gather_material(mtl_arrays, mtl_id):
-    """Pull per-lane material rows. mtl_id: int32 [N] (clamped for safety)."""
+    """Pull per-lane material rows. mtl_id: int32 [N] (clamped for safety).
+
+    Material counts are tiny, so the whole row pull runs as ONE one-hot
+    MXU matmul instead of ~20 dynamic gathers (ops/gather.py design
+    note; measured 3.7 ms -> sub-ms per bounce at 262k lanes on v5e).
+    """
+    from aten_tpu.ops.gather import take_fields
+
     m = jnp.clip(mtl_id, 0, mtl_arrays["type"].shape[0] - 1)
-    return {k: jnp.take(v, m, axis=0) for k, v in mtl_arrays.items()}
+    int_fields = tuple(
+        k for k, v in mtl_arrays.items() if v.dtype == jnp.int32
+    )
+    return take_fields(mtl_arrays, m, int_fields=int_fields)
