@@ -34,6 +34,30 @@ from aten_tpu.shading import nee
 # Debug/experiment switch: unroll the bounce loop instead of lax.scan.
 _UNROLL_BOUNCES = False
 
+# Lane->pixel swizzle block size.  The Pallas traverser votes per
+# 1024-ray tile; mapping a tile to a 32x32 PIXEL BLOCK (instead of a
+# 2.5-row scan-order sliver) shrinks the tile's visited-node union and
+# with it the whole leaf-test phase.  Pure permutation: per-pixel
+# results are bitwise identical, only lane placement changes.
+_SWIZZLE_BS = 32
+_PERM_CACHE = {}
+
+
+def _block_perm(width, height, bs=_SWIZZLE_BS):
+    """(perm, inv): lane i traces pixel perm[i]; image[p] = out[inv[p]]."""
+    key = (width, height, bs)
+    if key not in _PERM_CACHE:
+        ids = []
+        for y0 in range(0, height, bs):
+            for x0 in range(0, width, bs):
+                yy, xx = np.mgrid[y0:min(y0 + bs, height), x0:min(x0 + bs, width)]
+                ids.append((yy * width + xx).ravel())
+        perm = np.concatenate(ids).astype(np.int32)
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(len(perm), dtype=np.int32)
+        _PERM_CACHE[key] = (perm, inv)
+    return _PERM_CACHE[key]
+
 
 def eval_hit(scene, ro, rd, hit):
     """Resolve hit attributes (position, normals, uv, material, light id).
@@ -179,8 +203,10 @@ def _trace_paths(
         tile_h = height
     n_pix = width * tile_h
     N = n_pix * spp_chunk
+    perm_np, inv_np = _block_perm(width, tile_h)
+    perm = jnp.asarray(perm_np, jnp.uint32)
     lane = jnp.arange(N, dtype=jnp.uint32)
-    lpix = lane % jnp.uint32(n_pix)
+    lpix = jnp.take(perm, lane % jnp.uint32(n_pix))
     samp_idx = jnp.uint32(sample) + lane // jnp.uint32(n_pix)
     px = (lpix % width).astype(jnp.float32)
     py_local = (lpix // width).astype(jnp.float32)
@@ -286,6 +312,30 @@ def _trace_paths(
         else:
             punch = jnp.zeros_like(alive)
 
+        # ---- toon-as-light termination (HitTeminatedMaterial toon branch,
+        # pathtracing_impl.h:453-509): at bounce 0 the toon term is added
+        # like an emitter and the path ends; deeper bounces end silently.
+        used_types = scene.get("used_mtl_types")
+        has_toon = used_types is None or (
+            int(MaterialType.TOON) in used_types
+            or int(MaterialType.STYLIZED_BRDF) in used_types
+        )
+        if has_toon:
+            from aten_tpu.shading.toon import toon_term
+
+            is_toon = (mat["type"] == MaterialType.TOON) | (
+                mat["type"] == MaterialType.STYLIZED_BRDF
+            )
+            t_rgb, state = toon_term(
+                scene, mat, h["p"], h["ns"], rd, state, occluded_fn,
+                stylized=mat["type"] == MaterialType.STYLIZED_BRDF,
+            )
+            toon_add = alive & hit["hit"] & is_toon & ~punch & (bounce == 0)
+            radiance = radiance + jnp.where(
+                toon_add[..., None], throughput * t_rgb, 0.0
+            )
+            alive = alive & (~is_toon | punch)
+
         # ---- implicit emitter hit (HitImplicitLight)
         is_emis = mat["type"] == MaterialType.EMISSIVE
         cos_l = vm.dot(h["ng"], -rd, keepdims=False)
@@ -379,7 +429,11 @@ def _trace_paths(
         radiance = radiance.reshape(spp_chunk, n_pix, 3).mean(axis=0)
         if want_aovs:
             aovs = {k: v[:n_pix] for k, v in aovs.items()}
+    # un-swizzle lanes back to scan order
+    inv = jnp.asarray(inv_np)
+    radiance = jnp.take(radiance, inv, axis=0)
     if want_aovs:
+        aovs = {k: jnp.take(v, inv, axis=0) for k, v in aovs.items()}
         return radiance, aovs
     return radiance
 

@@ -272,39 +272,85 @@ def _traverse_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
 # a tile's traversal vote enters the treelet.  This trades pointer-chase
 # latency for bulk DMA bandwidth — the TPU-native answer to the
 # reference's tex1Dfetch node cache (threaded_bvh_traverser.h:61-82).
+#
+# v2 additions (the round-2 throughput push):
+#   * SIX direction-ordered link sets: hit/miss links re-threaded at
+#     build time so the near child is visited first for rays travelling
+#     +x/-x/+y/-y/+z/-z; the kernel picks the ordering from the tile's
+#     mean direction.  Front-to-back order makes the per-ray
+#     `tenter < t` term of the traversal vote actually prune: subtrees
+#     and treelets behind the tile's closest hits are skipped.  (The
+#     reference's fixed preorder links, threaded_bvh.h:178-191, have no
+#     such ordering — a CUDA thread hides the cost with a stack; the
+#     tile-vote design cannot.)
+#   * triangle-only leaf test when the scene has no spheres (drops ~1/3
+#     of the leaf VPU ops), and no u/v tracking in the kernel — the
+#     winner's barycentrics are recomputed in JAX afterwards from the
+#     (t, prim) result, one triangle per ray instead of per visited prim.
 # ---------------------------------------------------------------------------
 
 TREELET_MAX = 64
 CHUNK = 64  # prim rows per DMA piece (32 KB)
 
 
-def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
-                         num_tris, treelet_max=TREELET_MAX):
-    """Cut the threaded BVH into a VMEM top tree + HBM prim blocks."""
+def _directional_links(cent, hit, miss, start):
+    """Re-thread a preorder threaded tree for 6 axis-sign traversal orders.
+
+    cent [K,3]: node box centers; hit/miss/start: the default threaded
+    arrays (interior hit = n+1 preorder; leaf start >= 0).  Returns
+    links [6, K, 2] int32 where ordering o = 2*axis + (1 if the rays
+    travel toward -axis): the child whose center is nearer the ray
+    origin side is visited first.
+    """
+    K = hit.shape[0]
+    links = np.full((6, K, 2), -1, np.int32)
+    # children of interior n: c1 = n+1 (preorder), c2 = skip of c1
+    for o in range(6):
+        axis, neg = o >> 1, o & 1
+        h = links[o, :, 0]
+        m = links[o, :, 1]
+        stack = [(0, -1)]
+        while stack:
+            n, skip = stack.pop()
+            if start[n] >= 0:
+                h[n] = skip
+                m[n] = skip
+                continue
+            c1 = n + 1
+            c2 = int(miss[c1])
+            first, second = c1, c2
+            if (cent[c2, axis] < cent[c1, axis]) != bool(neg):
+                first, second = c2, c1
+            h[n] = first
+            m[n] = skip
+            stack.append((second, skip))
+            stack.append((first, second))
+    return links
+
+
+def treelet_cut(bvh, treelet_max=TREELET_MAX):
+    """Cut a threaded BVH at subtrees of <= treelet_max prims.
+
+    Returns cut-tree arrays over kept nodes (preorder): bmin/bmax [Kt,3],
+    hit/miss [Kt] (default preorder links), start/count [Kt] (fat leaves
+    carry their subtree's contiguous prim range; interior -1/0).
+    """
     nhit = np.asarray(bvh["nodes_hit"], np.int64)
     nmiss = np.asarray(bvh["nodes_miss"], np.int64)
     nps = np.asarray(bvh["nodes_prim_start"], np.int64)
     npc = np.asarray(bvh["nodes_prim_count"], np.int64)
     K = nhit.shape[0]
-    order = np.asarray(bvh["prim_order"], np.int64)
-    P = order.shape[0]
+    P = int(np.sum(np.where(nps >= 0, npc, 0)))
 
-    # prefix[i] = prims emitted before preorder node i (leaf order is
-    # preorder, so subtree(i) owns prims [prefix[i], prefix[skip_i]) )
     prefix = np.zeros(K + 1, np.int64)
     prefix[1:] = np.cumsum(np.where(nps >= 0, npc, 0))
 
-    def subtree_count(i):
-        skip = nmiss[i]
-        end = P if skip < 0 else prefix[skip]
-        return end - prefix[i]
-
-    # preorder walk selecting the cut (roots of treelets)
-    keep = []          # old ids of surviving nodes, preorder
-    is_fat = []
+    keep, is_fat = [], []
     i = 0
     while i != -1:
-        cnt = subtree_count(i)
+        skip = nmiss[i]
+        end = P if skip < 0 else prefix[skip]
+        cnt = end - prefix[i]
         if nps[i] >= 0 or cnt <= treelet_max:
             keep.append(i)
             is_fat.append(True)
@@ -315,31 +361,34 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
             i = i + 1  # preorder child
     keep = np.asarray(keep, np.int64)
     new_of = {int(o): n for n, o in enumerate(keep)}
-
     Kt = len(keep)
-    Kp = -(-Kt // ROWS) * ROWS
-    nodes = np.zeros((Kp, LANES), np.float32)
-    nodes[:Kt, 0:3] = np.asarray(bvh["nodes_bmin"], np.float32)[keep]
-    nodes[:Kt, 3:6] = np.asarray(bvh["nodes_bmax"], np.float32)[keep]
-    ints = np.full((Kp, 4), -1, np.int32)
-    for n, (o, fat) in enumerate(zip(keep, is_fat)):
-        miss = int(nmiss[o])
-        miss_new = -1 if miss < 0 else new_of[miss]
-        if fat:
-            ints[n, 0] = miss_new
-            ints[n, 1] = miss_new
-            ints[n, 2] = prefix[o]
-            ints[n, 3] = subtree_count(o)
-        else:
-            ints[n, 0] = new_of[int(o) + 1]  # preorder child survives
-            ints[n, 1] = miss_new
-            ints[n, 2] = -1
-            ints[n, 3] = 0
-    nodes[:, 6:10] = ints.view(np.float32)
 
-    # prim rows: identical packing to the resident layout, padded so a
-    # CHUNK-row DMA beyond the last block stays in bounds
-    Pp = (-(-P // CHUNK) + 1) * CHUNK
+    bmin = np.asarray(bvh["nodes_bmin"], np.float32)[keep]
+    bmax = np.asarray(bvh["nodes_bmax"], np.float32)[keep]
+    hit = np.full(Kt, -1, np.int64)
+    miss = np.full(Kt, -1, np.int64)
+    start = np.full(Kt, -1, np.int64)
+    count = np.zeros(Kt, np.int64)
+    for n, (o, fat) in enumerate(zip(keep, is_fat)):
+        ms = int(nmiss[o])
+        ms_new = -1 if ms < 0 else new_of[ms]
+        if fat:
+            hit[n] = ms_new
+            miss[n] = ms_new
+            start[n] = prefix[o]
+            end = P if ms < 0 else prefix[ms]
+            count[n] = end - prefix[o]
+        else:
+            hit[n] = new_of[int(o) + 1]
+            miss[n] = ms_new
+    return bmin, bmax, hit, miss, start, count
+
+
+def _pack_prim_rows(order, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
+                    num_tris, pad_to=CHUNK):
+    """Row-per-prim [Pp, 128] packing shared by the streaming layouts."""
+    P = order.shape[0]
+    Pp = (-(-P // pad_to) + 1) * pad_to
     prims = np.zeros((Pp, LANES), np.float32)
     is_tri = order < num_tris
     tid = np.clip(order, 0, max(len(tri_v0) - 1, 0))
@@ -353,17 +402,69 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
     pints[:P, 0] = order
     pints[:P, 1] = is_tri.astype(np.int32)
     prims[:, 13:15] = pints.view(np.float32)
+    return prims
+
+
+def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
+                         num_tris, treelet_max=TREELET_MAX):
+    """Cut the threaded BVH into a VMEM top tree + HBM prim blocks.
+
+    Node row lanes: 0-2 bmin, 3-5 bmax, 6..17 (hit,miss) int links for
+    the 6 direction orderings, 18 start, 19 count (ints bitcast to f32).
+    """
+    order = np.asarray(bvh["prim_order"], np.int64)
+    bmin, bmax, hit, miss, start, count = treelet_cut(bvh, treelet_max)
+    Kt = hit.shape[0]
+    links = _directional_links((bmin + bmax) * 0.5, hit, miss, start)
+
+    Kp = -(-Kt // ROWS) * ROWS
+    nodes = np.zeros((Kp, LANES), np.float32)
+    nodes[:Kt, 0:3] = bmin
+    nodes[:Kt, 3:6] = bmax
+    ints = np.full((Kp, 14), -1, np.int32)
+    ints[:, 13] = 0
+    ints[:Kt, 0:12] = links.transpose(1, 0, 2).reshape(Kt, 12)
+    ints[:Kt, 12] = start
+    ints[:Kt, 13] = count
+    nodes[:, 6:20] = ints.view(np.float32)
+
+    prims = _pack_prim_rows(order, tri_v0, tri_e1, tri_e2, sph_center,
+                            sph_radius, num_tris)
     return {"trl_nodes": nodes, "trl_prims": prims}
 
 
-def _make_treelet_kernel(any_hit: bool, t_min: float):
+def _pick_ordering(rdx, rdy, rdz):
+    """Tile's traversal ordering o = 2*axis + sign from the mean direction."""
+    sx = jnp.sum(rdx)
+    sy = jnp.sum(rdy)
+    sz = jnp.sum(rdz)
+    ax, ay, az = jnp.abs(sx), jnp.abs(sy), jnp.abs(sz)
+    ox = jnp.where(sx >= 0, 0, 1)
+    oy = jnp.where(sy >= 0, 2, 3)
+    oz = jnp.where(sz >= 0, 4, 5)
+    return jnp.where(
+        (ax >= ay) & (ax >= az), ox, jnp.where(ay >= az, oy, oz)
+    ).astype(jnp.int32)
+
+
+def _select_links(irow, o):
+    """Extract (hit, miss) for ordering o from node-row int lanes 6..17."""
+    h = irow[0, 6]
+    m = irow[0, 7]
+    for k in range(1, 6):
+        h = jnp.where(o == k, irow[0, 6 + 2 * k], h)
+        m = jnp.where(o == k, irow[0, 7 + 2 * k], m)
+    return h, m
+
+
+def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
     def f2i(x):
         return pltpu.bitcast(x, jnp.int32)
 
     def kernel(
         nodes_ref, prims_hbm,
         rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref, t0_ref,
-        tout_ref, pout_ref, uout_ref, vout_ref,
+        tout_ref, pout_ref,
         scratch_ref, sem_ref,
     ):
         rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
@@ -375,15 +476,14 @@ def _make_treelet_kernel(any_hit: bool, t_min: float):
             )
 
         ivx, ivy, ivz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+        ordv = _pick_ordering(rdx, rdy, rdz)
 
-        def test_prim_row(prow, ok, t, prim, u, v):
+        def test_prim_row(prow, ok, t, prim):
             v0x, v0y, v0z = prow[0, 0], prow[0, 1], prow[0, 2]
             e1x, e1y, e1z = prow[0, 3], prow[0, 4], prow[0, 5]
             e2x, e2y, e2z = prow[0, 6], prow[0, 7], prow[0, 8]
-            cx, cy, cz, rr = prow[0, 9], prow[0, 10], prow[0, 11], prow[0, 12]
             pirow = f2i(prow)
             pid = pirow[0, 13]
-            istri = pirow[0, 14] > 0
             px = rdy * e2z - rdz * e2y
             py = rdz * e2x - rdx * e2z
             pz = rdx * e2y - rdy * e2x
@@ -398,43 +498,46 @@ def _make_treelet_kernel(any_hit: bool, t_min: float):
             qz = tvx * e1y - tvy * e1x
             vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
             tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-            h_tri = (
+            hp = (
                 (jnp.abs(det) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
-                & (uu + vv <= 1.0) & (tt > t_min)
+                & (uu + vv <= 1.0) & (tt > t_min) & ok
             )
-            ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
-            b = ocx * rdx + ocy * rdy + ocz * rdz
-            cc = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
-            disc = b * b - cc
-            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-            ts0 = -b - sq
-            ts1 = -b + sq
-            ts = jnp.where(ts0 > t_min, ts0, ts1)
-            h_sph = (disc > 0.0) & (ts > t_min)
-            tp = jnp.where(istri, tt, ts)
-            hp = ((h_tri & istri) | (h_sph & jnp.logical_not(istri))) & ok
+            if has_spheres:
+                cx, cy, cz = prow[0, 9], prow[0, 10], prow[0, 11]
+                rr = prow[0, 12]
+                istri = pirow[0, 14] > 0
+                ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+                b = ocx * rdx + ocy * rdy + ocz * rdz
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+                disc = b * b - cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                ts0 = -b - sq
+                ts1 = -b + sq
+                ts = jnp.where(ts0 > t_min, ts0, ts1)
+                h_sph = (disc > 0.0) & (ts > t_min)
+                tp = jnp.where(istri, tt, ts)
+                hp = ((hp & istri) | (h_sph & jnp.logical_not(istri) & ok))
+            else:
+                tp = tt
             closer = hp & (tp < t)
             t = jnp.where(closer, tp, t)
             prim = jnp.where(closer, pid, prim)
-            u = jnp.where(closer, jnp.where(istri, uu, 0.0), u)
-            v = jnp.where(closer, jnp.where(istri, vv, 0.0), v)
-            return t, prim, u, v
+            return t, prim
 
         t_init = t0_ref[:]
         prim0 = jnp.full((ROWS, LANES), -1, jnp.int32)
-        zero = jnp.zeros((ROWS, LANES), jnp.float32)
 
         def cond(c):
             return c[0] >= 0
 
         def body(c):
-            cur, t, prim, u, v = c
+            cur, t, prim = c
             row = nodes_ref[pl.ds(cur, 1), :]
             bminx, bminy, bminz = row[0, 0], row[0, 1], row[0, 2]
             bmaxx, bmaxy, bmaxz = row[0, 3], row[0, 4], row[0, 5]
             irow = f2i(row)
-            hitl, missl = irow[0, 6], irow[0, 7]
-            start, count = irow[0, 8], irow[0, 9]
+            hitl, missl = _select_links(irow, ordv)
+            start, count = irow[0, 18], irow[0, 19]
 
             t0x = (bminx - rox) * ivx
             t1x = (bmaxx - rox) * ivx
@@ -458,14 +561,14 @@ def _make_treelet_kernel(any_hit: bool, t_min: float):
             anyhit = jnp.any(hitv)
             enter_block = (start >= 0) & anyhit
 
-            def stream_block(tpuv):
-                t, prim, u, v = tpuv
+            def stream_block(tpv):
+                t, prim = tpv
 
                 def chunk_cond(cc):
                     return cc[0] * CHUNK < count
 
                 def chunk_body(cc):
-                    ci, t, prim, u, v = cc
+                    ci, t, prim = cc
                     dma = pltpu.make_async_copy(
                         prims_hbm.at[pl.ds(start + ci * CHUNK, CHUNK), :],
                         scratch_ref,
@@ -474,53 +577,47 @@ def _make_treelet_kernel(any_hit: bool, t_min: float):
                     dma.start()
                     dma.wait()
 
-                    def row_body(k, tpuv2):
-                        t, prim, u, v = tpuv2
+                    def row_body(k, tp2):
+                        t, prim = tp2
                         ok = (ci * CHUNK + k) < count
                         prow = scratch_ref[pl.ds(k, 1), :]
-                        return test_prim_row(prow, ok, t, prim, u, v)
+                        return test_prim_row(prow, ok, t, prim)
 
-                    t, prim, u, v = jax.lax.fori_loop(
-                        0, CHUNK, row_body, (t, prim, u, v), unroll=CHUNK
+                    t, prim = jax.lax.fori_loop(
+                        0, CHUNK, row_body, (t, prim), unroll=CHUNK
                     )
-                    return (ci + 1, t, prim, u, v)
+                    return (ci + 1, t, prim)
 
-                _, t, prim, u, v = jax.lax.while_loop(
-                    chunk_cond, chunk_body, (jnp.int32(0), t, prim, u, v)
+                _, t, prim = jax.lax.while_loop(
+                    chunk_cond, chunk_body, (jnp.int32(0), t, prim)
                 )
-                return t, prim, u, v
+                return t, prim
 
-            t, prim, u, v = jax.lax.cond(
-                enter_block, stream_block, lambda x: x, (t, prim, u, v)
+            t, prim = jax.lax.cond(
+                enter_block, stream_block, lambda x: x, (t, prim)
             )
             nxt = jnp.where(anyhit, hitl, missl)
             if any_hit:
                 nxt = jnp.where(jnp.all(prim >= 0), -1, nxt)
-            return (nxt, t, prim, u, v)
+            return (nxt, t, prim)
 
         cur0 = jnp.int32(0)
-        _, t, prim, u, v = jax.lax.while_loop(
-            cond, body, (cur0, t_init, prim0, zero, zero)
-        )
+        _, t, prim = jax.lax.while_loop(cond, body, (cur0, t_init, prim0))
         tout_ref[:] = t
         pout_ref[:] = prim
-        uout_ref[:] = u
-        vout_ref[:] = v
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "t_min"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "t_min", "has_spheres"))
 def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
-                            any_hit=False, t_min=1e-4):
+                            any_hit=False, t_min=1e-4, has_spheres=True):
     g = rox.shape[0] // ROWS
-    kernel = _make_treelet_kernel(any_hit, float(t_min))
+    kernel = _make_treelet_kernel(any_hit, float(t_min), has_spheres)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(rox.shape, jnp.float32),
         jax.ShapeDtypeStruct(rox.shape, jnp.int32),
-        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
-        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
     ]
     return pl.pallas_call(
         kernel,
@@ -529,13 +626,35 @@ def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # top tree resident
             pl.BlockSpec(memory_space=pltpu.ANY),    # prim blocks in HBM
         ] + [ray_spec] * 7,
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * 2,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((CHUNK, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
+
+
+def _recompute_uv(scene, ro, rd, prim):
+    """Winner-only barycentrics: one Möller-Trumbore per ray in JAX for
+    the triangle the kernel selected (spheres/misses get u = v = 0)."""
+    num_tris = scene["num_tris"]
+    T = scene["tri_v0"].shape[0]
+    is_tri = (prim >= 0) & (prim < num_tris)
+    tid = jnp.clip(prim, 0, T - 1)
+    v0 = jnp.take(scene["tri_v0"], tid, axis=0)
+    e1 = jnp.take(scene["tri_e1"], tid, axis=0)
+    e2 = jnp.take(scene["tri_e2"], tid, axis=0)
+    pv = jnp.cross(rd, e2)
+    det = jnp.sum(e1 * pv, axis=-1)
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tv = ro - v0
+    u = jnp.sum(tv * pv, axis=-1) * inv
+    qv = jnp.cross(tv, e1)
+    v = jnp.sum(rd * qv, axis=-1) * inv
+    u = jnp.where(is_tri, u, 0.0)
+    v = jnp.where(is_tri, v, 0.0)
+    return u, v
 
 
 # ---------------------------------------------------------------------------
@@ -977,18 +1096,22 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     rdz = prep(rd[:, 2], fill=1.0)
     t0p = prep(t0, fill=-1.0)  # padded rays: t<0 -> never hit
 
+    flat = lambda x: x.reshape(-1)[:N]
     if "pl_nodes" in scene:
         t, prim, u, v = _traverse_tiles(
             scene["pl_nodes"], scene["pl_prims"],
             rox, roy, roz, rdx, rdy, rdz, t0p,
             any_hit=any_hit, t_min=t_min,
         )
+        u, v = flat(u), flat(v)
     else:
-        t, prim, u, v = _traverse_treelet_tiles(
+        t, prim = _traverse_treelet_tiles(
             scene["trl_nodes"], scene["trl_prims"],
             rox, roy, roz, rdx, rdy, rdz, t0p,
             any_hit=any_hit, t_min=t_min,
+            has_spheres=scene["num_spheres"] > 0,
         )
-    flat = lambda x: x.reshape(-1)[:N]
+        prim_f = flat(prim)
+        u, v = _recompute_uv(scene, ro, rd, prim_f)
     prim = flat(prim)
-    return {"t": flat(t), "prim": prim, "u": flat(u), "v": flat(v), "hit": prim >= 0}
+    return {"t": flat(t), "prim": prim, "u": u, "v": v, "hit": prim >= 0}

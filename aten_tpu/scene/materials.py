@@ -30,6 +30,7 @@ class MaterialType(enum.IntEnum):
     CAR_PAINT = 10
     DISNEY = 11
     TOON = 12
+    STYLIZED_BRDF = 13  # GI-aware stylized toon (material/toon.cpp:361)
 
 
 # Singular (delta) BSDFs: ideal mirror + ideal refraction.
@@ -51,8 +52,29 @@ _SCALAR_FIELDS = dict(
     sheen_tint=0.5,
     clearcoat=0.0,
     clearcoat_gloss=1.0,
+    # --- toon family (ToonParameter, material/material.h:124-161) ---
+    toon_type=0.0,               # 0 = diffuse base, 1 = ToonSpecular base
+    toon_receive_shadow=1.0,
+    toon_hl_translation_t=0.0,   # stylized highlight controls (toon.cpp:319)
+    toon_hl_translation_b=0.0,
+    toon_hl_scale_t=0.0,
+    toon_hl_scale_b=0.0,
+    toon_hl_split_t=0.0,
+    toon_hl_split_b=0.0,
+    toon_hl_square_sharp=1.0,
+    toon_hl_square_magnitude=0.0,
+    toon_rim_enable=0.0,         # rim light (toon.cpp:243-280)
+    toon_rim_width=0.3,
+    toon_rim_softness=0.5,
+    toon_rim_spread=1.0,
+    toon_stylized_y_min=0.0,     # StylizedBrdf remap window (toon.cpp:422)
+    toon_stylized_y_max=1.0,
 )
-_MAP_FIELDS = ("albedo_map", "normal_map", "roughness_map", "medium")
+_VEC_FIELDS = dict(
+    toon_rim_color=(1.0, 1.0, 1.0),
+)
+_MAP_FIELDS = ("albedo_map", "normal_map", "roughness_map", "medium",
+               "toon_remap_tex", "toon_target_light")
 
 
 class MaterialTable:
@@ -65,6 +87,8 @@ class MaterialTable:
         row = {"type": int(mtype), "base_color": tuple(float(c) for c in base_color)}
         for k, v in _SCALAR_FIELDS.items():
             row[k] = float(kw.pop(k, v))
+        for k, v in _VEC_FIELDS.items():
+            row[k] = tuple(float(c) for c in kw.pop(k, v))
         for k in _MAP_FIELDS:
             row[k] = int(kw.pop(k, -1))
         if kw:
@@ -76,7 +100,8 @@ class MaterialTable:
         n = max(len(self.rows), 1)
         rows = self.rows or [
             {"type": int(MaterialType.DIFFUSE), "base_color": (0.5, 0.5, 0.5),
-             **_SCALAR_FIELDS, **{k: -1 for k in _MAP_FIELDS}}
+             **_SCALAR_FIELDS, **_VEC_FIELDS,
+             **{k: -1 for k in _MAP_FIELDS}}
         ]
         out = {
             "type": jnp.asarray([r["type"] for r in rows], jnp.int32),
@@ -86,6 +111,8 @@ class MaterialTable:
         }
         for k in _SCALAR_FIELDS:
             out[k] = jnp.asarray([r[k] for r in rows], jnp.float32)
+        for k in _VEC_FIELDS:
+            out[k] = jnp.asarray(np.array([r[k] for r in rows], np.float32))
         for k in _MAP_FIELDS:
             out[k] = jnp.asarray([r[k] for r in rows], jnp.int32)
         assert out["type"].shape[0] == n

@@ -4,8 +4,13 @@ Measures closest-hit Mrays/s of the Pallas BVH kernels on real meshes
 (the VERDICT round-1 #1 issue: dragon 4.3 / sponza 8.8 Mrays/s judge-
 measured).  Run: python tools/bench_traverse.py [dragon|sponza|cornell]
 """
+import os
 import sys
 import time
+
+# NOTE: do NOT run with PYTHONPATH set — any PYTHONPATH value breaks the
+# axon TPU plugin discovery in this environment.  Bootstrap instead.
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -27,8 +32,21 @@ def primary_rays(cam, jitter=0.0):
     return ro, rd
 
 
-def bench(name, scene, cam, iters=8, impl="pallas"):
+def block_perm(width, height, bs=32):
+    """Pixel permutation: 32x32 blocks row-major (one kernel tile each)."""
+    ids = []
+    for y0 in range(0, height, bs):
+        for x0 in range(0, width, bs):
+            yy, xx = np.mgrid[y0:min(y0 + bs, height), x0:min(x0 + bs, width)]
+            ids.append((yy * width + xx).ravel())
+    return np.concatenate(ids)
+
+
+def bench(name, scene, cam, iters=8, impl="pallas", swizzle=False):
     ro, rd = primary_rays(cam)
+    if swizzle:
+        perm = jnp.asarray(block_perm(cam.width, cam.height))
+        ro, rd = ro[perm], rd[perm]
     N = ro.shape[0]
     f = jax.jit(lambda ro, rd: traverse(scene, ro, rd, impl=impl)["t"])
     r = f(ro, rd)
@@ -40,8 +58,8 @@ def bench(name, scene, cam, iters=8, impl="pallas"):
     dt = (time.perf_counter() - t0) / iters
     mrays = N / dt / 1e6
     hits = int(np.sum(np.asarray(traverse(scene, ro, rd, impl=impl)["hit"])))
-    print(f"{name}: {N} rays, {dt*1e3:.2f} ms, {mrays:.1f} Mrays/s, "
-          f"hit {hits}/{N}", flush=True)
+    print(f"{name}{'+swz' if swizzle else ''}: {N} rays, {dt*1e3:.2f} ms, "
+          f"{mrays:.1f} Mrays/s, hit {hits}/{N}", flush=True)
     return mrays
 
 
@@ -60,6 +78,7 @@ def main():
         keys = [k for k in ("pl_nodes", "trl_nodes", "tt_nodes") if k in scene]
         print(f"--- {w}: tris={scene['num_tris']} layout={keys}", flush=True)
         bench(w, scene, cam)
+        bench(w, scene, cam, swizzle=True)
 
 
 if __name__ == "__main__":
