@@ -287,10 +287,24 @@ def _traverse_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
 #     of the leaf VPU ops), and no u/v tracking in the kernel — the
 #     winner's barycentrics are recomputed in JAX afterwards from the
 #     (t, prim) result, one triangle per ray instead of per visited prim.
+#
+# v3 additions (instrumented: leaf streaming was 8x the node-walk cost):
+#   * PACKED prim rows: 8 primitives per 128-lane row (16 lanes each)
+#     instead of one -> a 64-prim treelet is one fixed 8-row (4 KB) DMA,
+#     not a 32 KB one, and the intersect loop is count-aligned (a
+#     fori_loop over ceil(count/8) rows replaces the always-64-row
+#     unrolled chunk loop that wasted ~1/3 of its work on padding).
+#   * PIPELINED leaf DMA: entering a treelet only *issues* the copy; the
+#     walk continues and the intersection runs one node-step later, when
+#     the data has landed — the reference hides this latency with CUDA
+#     warp switching (pt_standard_impl.cu:57-229); a Pallas tile hides
+#     it behind its own slab math.
 # ---------------------------------------------------------------------------
 
 TREELET_MAX = 64
-CHUNK = 64  # prim rows per DMA piece (32 KB)
+PACK = 8          # prims per 128-lane row (16 lanes each)
+TRL_ROWS = TREELET_MAX // PACK  # rows per fixed-size leaf DMA
+CHUNK = 64  # prim rows per DMA piece (32 KB) — legacy tt_ kernel only
 
 
 def _directional_links(cent, hit, miss, start):
@@ -405,17 +419,68 @@ def _pack_prim_rows(order, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
     return prims
 
 
+def _pack_prims_8(order, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
+                  num_tris, row_of_prim, n_rows):
+    """Pack prims 8 per row, 16 lanes each.
+
+    Per-slot lanes (base = 16*j): 0-2 v0 | sphere center, 3-5 e1
+    (lane 3 = sphere radius), 6-8 e2, 9 pid (int), 10 is_tri (int).
+    row_of_prim[i] gives (row, slot) flattened index for order[i].
+    """
+    P = order.shape[0]
+    prims = np.zeros((n_rows, LANES), np.float32)
+    is_tri = order < num_tris
+    tid = np.clip(order, 0, max(len(tri_v0) - 1, 0))
+    sid = np.clip(order - num_tris, 0, max(len(sph_center) - 1, 0))
+    slot = row_of_prim % PACK
+    row = row_of_prim // PACK
+    base = slot * 16
+    geo0 = np.where(is_tri[:, None], np.asarray(tri_v0, np.float32)[tid],
+                    np.asarray(sph_center, np.float32)[sid] if len(sph_center)
+                    else 0.0)
+    geo1 = np.where(is_tri[:, None], np.asarray(tri_e1, np.float32)[tid], 0.0)
+    if len(sph_radius):
+        geo1 = geo1.copy()
+        geo1[~is_tri, 0] = np.asarray(sph_radius, np.float32)[sid[~is_tri]]
+    geo2 = np.where(is_tri[:, None], np.asarray(tri_e2, np.float32)[tid], 0.0)
+    for a in range(3):
+        prims[row, base + a] = geo0[:, a]
+        prims[row, base + 3 + a] = geo1[:, a]
+        prims[row, base + 6 + a] = geo2[:, a]
+    pid_f = np.asarray(order, np.int32).view(np.float32)
+    istri_f = is_tri.astype(np.int32).view(np.float32)
+    prims[row, base + 9] = pid_f
+    prims[row, base + 10] = istri_f
+    return prims
+
+
 def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
                          num_tris, treelet_max=TREELET_MAX):
-    """Cut the threaded BVH into a VMEM top tree + HBM prim blocks.
+    """Cut the threaded BVH into a VMEM top tree + HBM packed prim rows.
 
     Node row lanes: 0-2 bmin, 3-5 bmax, 6..17 (hit,miss) int links for
-    the 6 direction orderings, 18 start, 19 count (ints bitcast to f32).
+    the 6 direction orderings, 18 row_start, 19 prim count (ints bitcast
+    to f32).  Every fat leaf's prims start on a row boundary and the
+    kernel always DMAs a fixed TRL_ROWS-row window, so the pool carries
+    a TRL_ROWS tail pad.
     """
     order = np.asarray(bvh["prim_order"], np.int64)
     bmin, bmax, hit, miss, start, count = treelet_cut(bvh, treelet_max)
     Kt = hit.shape[0]
     links = _directional_links((bmin + bmax) * 0.5, hit, miss, start)
+
+    # row-align each treelet's prim range
+    P = order.shape[0]
+    row_start = np.full(Kt, -1, np.int64)
+    row_of_prim = np.zeros(P, np.int64)
+    nrows = 0
+    for n in np.nonzero(start >= 0)[0]:
+        s, c = int(start[n]), int(count[n])
+        row_start[n] = nrows
+        idx = nrows * PACK + np.arange(c)
+        row_of_prim[s:s + c] = idx
+        nrows += -(-c // PACK)
+    n_rows_padded = nrows + TRL_ROWS  # fixed-window overread pad
 
     Kp = -(-Kt // ROWS) * ROWS
     nodes = np.zeros((Kp, LANES), np.float32)
@@ -424,12 +489,12 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
     ints = np.full((Kp, 14), -1, np.int32)
     ints[:, 13] = 0
     ints[:Kt, 0:12] = links.transpose(1, 0, 2).reshape(Kt, 12)
-    ints[:Kt, 12] = start
+    ints[:Kt, 12] = row_start
     ints[:Kt, 13] = count
     nodes[:, 6:20] = ints.view(np.float32)
 
-    prims = _pack_prim_rows(order, tri_v0, tri_e1, tri_e2, sph_center,
-                            sph_radius, num_tris)
+    prims = _pack_prims_8(order, tri_v0, tri_e1, tri_e2, sph_center,
+                          sph_radius, num_tris, row_of_prim, n_rows_padded)
     return {"trl_nodes": nodes, "trl_prims": prims}
 
 
@@ -478,12 +543,12 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
         ivx, ivy, ivz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
         ordv = _pick_ordering(rdx, rdy, rdz)
 
-        def test_prim_row(prow, ok, t, prim):
-            v0x, v0y, v0z = prow[0, 0], prow[0, 1], prow[0, 2]
-            e1x, e1y, e1z = prow[0, 3], prow[0, 4], prow[0, 5]
-            e2x, e2y, e2z = prow[0, 6], prow[0, 7], prow[0, 8]
-            pirow = f2i(prow)
-            pid = pirow[0, 13]
+        def test_prim_slot(prow, pirow, j, ok, t, prim):
+            b = 16 * j
+            v0x, v0y, v0z = prow[0, b + 0], prow[0, b + 1], prow[0, b + 2]
+            e1x, e1y, e1z = prow[0, b + 3], prow[0, b + 4], prow[0, b + 5]
+            e2x, e2y, e2z = prow[0, b + 6], prow[0, b + 7], prow[0, b + 8]
+            pid = pirow[0, b + 9]
             px = rdy * e2z - rdz * e2y
             py = rdz * e2x - rdx * e2z
             pz = rdx * e2y - rdy * e2x
@@ -503,16 +568,16 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
                 & (uu + vv <= 1.0) & (tt > t_min) & ok
             )
             if has_spheres:
-                cx, cy, cz = prow[0, 9], prow[0, 10], prow[0, 11]
-                rr = prow[0, 12]
-                istri = pirow[0, 14] > 0
+                # sphere slots: center in v0 lanes, radius in e1x lane
+                cx, cy, cz, rr = v0x, v0y, v0z, e1x
+                istri = pirow[0, b + 10] > 0
                 ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
-                b = ocx * rdx + ocy * rdy + ocz * rdz
+                bq = ocx * rdx + ocy * rdy + ocz * rdz
                 cc = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
-                disc = b * b - cc
+                disc = bq * bq - cc
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-                ts0 = -b - sq
-                ts1 = -b + sq
+                ts0 = -bq - sq
+                ts1 = -bq + sq
                 ts = jnp.where(ts0 > t_min, ts0, ts1)
                 h_sph = (disc > 0.0) & (ts > t_min)
                 tp = jnp.where(istri, tt, ts)
@@ -524,15 +589,35 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
             prim = jnp.where(closer, pid, prim)
             return t, prim
 
+        def intersect_pending(pstart, pcount, t, prim):
+            """Wait for the in-flight leaf DMA and test its prims."""
+            pltpu.make_async_copy(
+                prims_hbm.at[pl.ds(pstart, TRL_ROWS), :], scratch_ref, sem_ref
+            ).wait()
+            nrows = (pcount + (PACK - 1)) // PACK
+
+            def row_body(r, tp2):
+                t, prim = tp2
+                prow = scratch_ref[pl.ds(r, 1), :]
+                pirow = f2i(prow)
+                for j in range(PACK):
+                    ok = (r * PACK + j) < pcount
+                    t, prim = test_prim_slot(prow, pirow, j, ok, t, prim)
+                return (t, prim)
+
+            return jax.lax.fori_loop(0, nrows, row_body, (t, prim))
+
         t_init = t0_ref[:]
         prim0 = jnp.full((ROWS, LANES), -1, jnp.int32)
 
         def cond(c):
-            return c[0] >= 0
+            return (c[0] >= 0) | (c[3] >= 0)
 
         def body(c):
-            cur, t, prim = c
-            row = nodes_ref[pl.ds(cur, 1), :]
+            cur, t, prim, pstart, pcount = c
+            active = cur >= 0
+            curc = jnp.maximum(cur, 0)
+            row = nodes_ref[pl.ds(curc, 1), :]
             bminx, bminy, bminz = row[0, 0], row[0, 1], row[0, 2]
             bmaxx, bmaxy, bmaxz = row[0, 3], row[0, 4], row[0, 5]
             irow = f2i(row)
@@ -558,51 +643,39 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
             else:
                 want = jnp.full_like(prim, True, dtype=jnp.bool_)
             hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
-            anyhit = jnp.any(hitv)
+            anyhit = jnp.any(hitv) & active
             enter_block = (start >= 0) & anyhit
 
-            def stream_block(tpv):
-                t, prim = tpv
-
-                def chunk_cond(cc):
-                    return cc[0] * CHUNK < count
-
-                def chunk_body(cc):
-                    ci, t, prim = cc
-                    dma = pltpu.make_async_copy(
-                        prims_hbm.at[pl.ds(start + ci * CHUNK, CHUNK), :],
-                        scratch_ref,
-                        sem_ref,
-                    )
-                    dma.start()
-                    dma.wait()
-
-                    def row_body(k, tp2):
-                        t, prim = tp2
-                        ok = (ci * CHUNK + k) < count
-                        prow = scratch_ref[pl.ds(k, 1), :]
-                        return test_prim_row(prow, ok, t, prim)
-
-                    t, prim = jax.lax.fori_loop(
-                        0, CHUNK, row_body, (t, prim), unroll=CHUNK
-                    )
-                    return (ci + 1, t, prim)
-
-                _, t, prim = jax.lax.while_loop(
-                    chunk_cond, chunk_body, (jnp.int32(0), t, prim)
-                )
-                return t, prim
-
+            # drain the leaf DMA issued on a previous step (it has been
+            # flying behind this step's slab math)
             t, prim = jax.lax.cond(
-                enter_block, stream_block, lambda x: x, (t, prim)
+                pstart >= 0,
+                lambda tp: intersect_pending(pstart, pcount, tp[0], tp[1]),
+                lambda tp: tp,
+                (t, prim),
             )
+
+            # issue (not wait) this step's leaf copy
+            @pl.when(enter_block)
+            def _():
+                pltpu.make_async_copy(
+                    prims_hbm.at[pl.ds(start, TRL_ROWS), :],
+                    scratch_ref,
+                    sem_ref,
+                ).start()
+
+            pstart = jnp.where(enter_block, start, -1)
+            pcount = jnp.where(enter_block, count, 0)
             nxt = jnp.where(anyhit, hitl, missl)
+            nxt = jnp.where(active, nxt, cur)
             if any_hit:
                 nxt = jnp.where(jnp.all(prim >= 0), -1, nxt)
-            return (nxt, t, prim)
+            return (nxt, t, prim, pstart, pcount)
 
         cur0 = jnp.int32(0)
-        _, t, prim = jax.lax.while_loop(cond, body, (cur0, t_init, prim0))
+        _, t, prim, _, _ = jax.lax.while_loop(
+            cond, body, (cur0, t_init, prim0, jnp.int32(-1), jnp.int32(0))
+        )
         tout_ref[:] = t
         pout_ref[:] = prim
 
@@ -629,7 +702,7 @@ def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
         out_specs=[ray_spec] * 2,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((CHUNK, LANES), jnp.float32),
+            pltpu.VMEM((TRL_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
     )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
