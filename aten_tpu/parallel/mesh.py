@@ -31,6 +31,7 @@ except ImportError:  # pragma: no cover
 from aten_tpu.integrator.pathtracer import _trace_paths
 
 TILE_AXIS = "tiles"
+HOST_AXES = ("hosts", "chips")
 
 
 def make_mesh(n_devices=None, axis=TILE_AXIS):
@@ -44,20 +45,107 @@ def make_mesh(n_devices=None, axis=TILE_AXIS):
     return Mesh(np.array(devs), (axis,))
 
 
+def distributed_init(coordinator, num_processes, process_id,
+                     local_device_count=None):
+    """Join a multi-process (multi-host) JAX cluster.
+
+    On real pods each host calls this once before any backend use
+    (coordinator = host0's DCN address); tests emulate N hosts with N
+    CPU processes x `local_device_count` virtual CPU devices each.
+    The reference has no distribution at all (SURVEY.md §2.12) — this
+    is the NEW capability layer of the TPU build.
+    """
+    if local_device_count is not None:
+        jax.config.update("jax_num_cpu_devices", local_device_count)
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_global_mesh(axes=HOST_AXES):
+    """(hosts, chips) mesh over every device in the cluster.
+
+    Rows = processes (DCN boundary), columns = that host's chips (ICI),
+    so collectives reduced over `chips` ride ICI and only the final
+    cross-host combine crosses DCN.  Single-process: (1, n_local).
+    """
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    n = jax.process_count()
+    local = len(devs) // n
+    return Mesh(np.array(devs).reshape(n, local), axes)
+
+
+def _mesh_axes(mesh, axis):
+    """Normalize `axis` (str or tuple) to a tuple present in the mesh."""
+    return (axis,) if isinstance(axis, str) else tuple(axis)
+
+
+def _flat_device_index(mesh, axes):
+    """Flat tile index of this device across the (possibly multi-axis)
+    tile dimension — row-major over `axes`."""
+    idx = jax.lax.axis_index(axes[0])
+    for a in axes[1:]:
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+    return idx
+
+
+def replicate_global(mesh, tree):
+    """Make process-local arrays usable as REPLICATED inputs to a global
+    (multi-process) shard_map — the analogue of idaten's one-shot
+    UpdateSceneData upload, broadcast to every host's chips."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.sharding import NamedSharding
+
+    sh = NamedSharding(mesh, P())
+
+    def conv(x):
+        if isinstance(x, (int, float, bool)) or x is None:
+            return x
+        arr = np.asarray(x)
+        return jax.make_array_from_process_local_data(sh, arr, arr.shape)
+
+    return jax.tree.map(conv, tree)
+
+
+def shard_rows_global(mesh, axis, x):
+    """Turn per-process row blocks into one global row-sharded array."""
+    if jax.process_count() == 1:
+        return x
+    from jax.sharding import NamedSharding
+
+    axes = _mesh_axes(mesh, axis)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
+    local = np.asarray(x)
+    global_shape = (local.shape[0] * jax.process_count(),) + local.shape[1:]
+    sh = NamedSharding(mesh, P(axes if len(axes) > 1 else axes[0]))
+    return jax.make_array_from_process_local_data(sh, local, global_shape)
+
+
 def render_tiled(
     scene, cam_arrays, width, height, frame, sample, spp=1, max_depth=5,
     rr_depth=3, mesh=None, axis=TILE_AXIS,
 ):
-    """Render one sample with rows sharded across the mesh. Returns [H,W,3]
-    with row-sharded layout (device d owns rows [d*H/n, (d+1)*H/n))."""
+    """Render one sample with rows sharded across the mesh (single- or
+    multi-axis: pass axis=("hosts","chips") with a make_global_mesh()).
+    Returns [H,W,3] row-sharded (flat tile d owns rows [d*H/n, ...)).
+    Seeding uses GLOBAL pixel ids, so any mesh shape is bitwise
+    identical to the single-chip render."""
     if mesh is None:
         mesh = make_mesh()
-    n = mesh.shape[axis]
+    axes = _mesh_axes(mesh, axis)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
     assert height % n == 0, f"height {height} must divide mesh size {n}"
     tile_h = height // n
 
     def tile_fn(scene, cam_arrays, frame, sample):
-        d = jax.lax.axis_index(axis)
+        d = _flat_device_index(mesh, axes)
         y0 = (d * tile_h).astype(jnp.int32)
         rad = _trace_paths(
             scene, cam_arrays, width, height, frame, sample, spp, max_depth,
@@ -65,8 +153,9 @@ def render_tiled(
         )
         return rad.reshape(tile_h, width, 3)
 
+    out_spec = P(axes if len(axes) > 1 else axes[0])
     f = shard_map(
-        tile_fn, mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=P(axis)
+        tile_fn, mesh=mesh, in_specs=(P(), P(), P(), P()), out_specs=out_spec
     )
     return f(scene, cam_arrays, frame, sample)
 
@@ -88,7 +177,10 @@ def make_train_step(
     """
     if mesh is None:
         mesh = make_mesh()
-    n = mesh.shape[axis]
+    axes = _mesh_axes(mesh, axis)
+    n = 1
+    for a in axes:
+        n *= mesh.shape[a]
     assert height % n == 0
     tile_h = height // n
 
@@ -104,18 +196,22 @@ def make_train_step(
         return jnp.mean((img - target_tile) ** 2)
 
     def tile_step(scene, cam_arrays, target_tile, frame):
-        d = jax.lax.axis_index(axis)
+        d = _flat_device_index(mesh, axes)
         y0 = (d * tile_h).astype(jnp.int32)
         mat_params = {k: scene["materials"][k] for k in fields}
         loss, g = jax.value_and_grad(loss_fn)(
             mat_params, scene, cam_arrays, target_tile, y0, frame
         )
-        loss = jax.lax.pmean(loss, axis)
-        g = jax.tree.map(lambda x: jax.lax.pmean(x, axis), g)
+        # gradient all-reduce: `chips` legs ride ICI within a host, the
+        # `hosts` leg is the only DCN hop (axes order is XLA's to fuse)
+        loss = jax.lax.pmean(loss, axes)
+        g = jax.tree.map(lambda x: jax.lax.pmean(x, axes), g)
         return loss, g
 
+    tile_spec = P(axes if len(axes) > 1 else axes[0])
     smapped = shard_map(
-        tile_step, mesh=mesh, in_specs=(P(), P(), P(axis), P()), out_specs=(P(), P()),
+        tile_step, mesh=mesh, in_specs=(P(), P(), tile_spec, P()),
+        out_specs=(P(), P()),
     )
 
     @jax.jit

@@ -123,15 +123,15 @@ def bench_pt(results):
     from aten_tpu.integrator.pathtracer import render_sample
     from aten_tpu.scene.scenedefs import cornell_box, material_test_scene
 
-    # cornell, 100 spp in one dispatch (gallery pt100 config)
+    # cornell, 100 spp as 2x50-spp dispatches (gallery pt100 config)
     W = H = 512
     scene, cam = cornell_box(W, H)
     ca = cam.arrays()
-    spp = 100
+    spp = 50
 
     def frame(i, dep, _s=scene, _ca=ca):
-        img = render_sample(_s, _ca, W, H, dep_u32(1, dep), jnp.uint32(0),
-                            spp, 5, 3, spp_chunk=spp)
+        img = render_sample(_s, _ca, W, H, dep_u32(1, dep),
+                            jnp.uint32(i * spp), 100, 5, 3, spp_chunk=spp)
         return img[0, 0, 0]
 
     sec = time_chain(frame, n=2)
@@ -221,7 +221,7 @@ def bench_restir(results):
         for i in range(3):
             img, state = restir.restir_direct_sample(
                 scene, ca, W, H, dep_u32(1, acc) + jnp.uint32(i), state)
-            acc = acc + img[0, 0]
+            acc = acc + img.reshape(-1)[0]
         return acc
 
     _ = float(chained())
