@@ -259,6 +259,11 @@ def _trace_paths(
         mat = tex_mod.apply_albedo(scene, mat, h["uv"])
         mat = tex_mod.apply_roughness_map(scene, mat, h["uv"])
         h["ns"] = tex_mod.apply_normal_map(scene, mat, h["ns"], h["uv"])
+        used_types = scene.get("used_mtl_types")
+        if used_types is None or int(MaterialType.CAR_PAINT) in used_types:
+            # procedural flake coverage + flake normal at this uv
+            # (CarPaint::applyNormalMap + FlakesNormal::gen role)
+            mat = brdf_mod.carpaint_flake_fields(mat, h["uv"], h["ns"])
         if scene.get("has_voxel_lod"):
             # voxel hits shade as forced Diffuse (FillMaterial,
             # material_impl.h:232-262)

@@ -69,9 +69,19 @@ _SCALAR_FIELDS = dict(
     toon_rim_spread=1.0,
     toon_stylized_y_min=0.0,     # StylizedBrdf remap window (toon.cpp:422)
     toon_stylized_y_max=1.0,
+    # --- car paint (CarPaintParameter, material/material.h:164-191) ---
+    clearcoat_ior=3.0,
+    clearcoat_roughness=0.25,
+    flake_scale=400.0,           # cells per uv unit (FlakesNormal.h:15)
+    flake_size=0.25,             # flake disc radius within a cell
+    flake_size_variance=0.7,
+    flake_normal_orientation=0.5,
+    flake_color_multiplier=1.0,
 )
 _VEC_FIELDS = dict(
     toon_rim_color=(1.0, 1.0, 1.0),
+    clearcoat_color=(1.0, 1.0, 1.0),
+    flakes_color=(1.0, 1.0, 0.0),
 )
 _MAP_FIELDS = ("albedo_map", "normal_map", "roughness_map", "medium",
                "toon_remap_tex", "toon_target_light")

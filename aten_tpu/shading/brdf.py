@@ -20,6 +20,7 @@ Conventions:
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -382,97 +383,258 @@ def _rough_dielectric_sample(mat, ns, wo, u1, u2, u3):
 
 
 # ---------------------------------------------------------------------------
-# Retroreflective (retroreflective.cpp role, simplified): a Beckmann-like
-# lobe concentrated around the INCOMING direction (wi ~ wo), as produced by
-# corner-cube sheeting, over a diffuse floor.  The reference implements a
-# measured effective-area model; this is a compact analytic stand-in with
-# the same phenomenology (bright back-reflection, diffuse fallback).
+# Retroreflective (retroreflective.cpp): three-component corner-cube
+# sheeting model — Beckmann surface reflection + the paper's
+# retroreflection lobe (an NDF about the REVERSED incident direction,
+# scaled by the sheet's effective retroreflective area ERA(theta) and a
+# double Fresnel transmission) + an energy-compensated diffuse floor.
+# The ERA table is OUR OWN measurement (utils/retroreflective.py, the
+# analytically validated corner-cube ray-count tool), phi-averaged —
+# same role as the reference's baked ERATable
+# (retroreflective.cpp:58-160) with independent provenance.
 # ---------------------------------------------------------------------------
 
-_RETRO_KS = 0.55
-_RETRO_KD = 0.3
+_ERA_CACHE = {}
+
+
+def _era_theta_table(steps=91):
+    """[steps] ERA values over theta in [0, pi/2], phi-averaged."""
+    if steps not in _ERA_CACHE:
+        from aten_tpu.utils.retroreflective import era
+
+        thetas = np.linspace(0.0, np.pi / 2, steps).astype(np.float32)
+        phis = np.linspace(0.0, np.pi, 16, endpoint=False).astype(np.float32)
+        tt = np.repeat(thetas, len(phis))
+        pp = np.tile(phis, len(thetas))
+        # runs eagerly even when first touched inside a jit trace
+        with jax.ensure_compile_time_eval():
+            vals = np.asarray(era(tt, pp, n_orgs=48)).reshape(steps, len(phis))
+        _ERA_CACHE[steps] = (thetas, vals.mean(axis=1).astype(np.float32))
+    return _ERA_CACHE[steps]
+
+
+def _refract_dir(d, n, eta):
+    """Refract incident d (pointing INTO the surface) about n
+    (material::ComputeRefractVector role).  eta = ni/nt, per-lane."""
+    eta = jnp.asarray(eta)
+    cos_i = -vm.dot(d, n, keepdims=False)
+    k = 1.0 - eta * eta * (1.0 - cos_i * cos_i)
+    k = jnp.maximum(k, 0.0)
+    ut = eta[..., None] * d + (eta * cos_i - jnp.sqrt(k))[..., None] * n
+    return vm.normalize(ut)
+
+
+def _retro_components(mat, n, wo, wi):
+    """Per-component (f, pdf) triplets + normalized lobe weights.
+
+    Conventions: reference wi (incident) = -wo here; reference wo
+    (scattered) = wi here; uo := -ref_wi = wo.
+    """
+    rough = jnp.clip(mat["roughness"], 0.01, 1.0)
+    ior = jnp.maximum(mat["ior"], 1.01)
+    ni, nt = 1.0, ior
+    f0 = ((ni - nt) / (ni + nt)) ** 2
+
+    nv = vm.dot(n, wo, keepdims=False)
+    nl = vm.dot(n, wi, keepdims=False)
+
+    # refracted mean direction into the prismatic sheet
+    ut = _refract_dir(-wo, n, ni / nt)
+    cos_t = jnp.clip(vm.dot(ut, -n, keepdims=False), 0.0, 1.0)
+    theta = jnp.arccos(cos_t)
+    th_tab, era_tab = _era_theta_table()
+    E = jnp.interp(theta, jnp.asarray(th_tab), jnp.asarray(era_tab))
+
+    # lobe weights (Retroreflective::ComputeWeights)
+    F_in = fresnel_schlick(jnp.clip(nv, 0.0, 1.0), f0)
+    w_sr = F_in
+    w_rr = (1.0 - F_in) * E
+    w_d = (1.0 - F_in) * (1.0 - E)
+    norm = jnp.maximum(w_sr + w_rr + w_d, 1e-8)
+    w_sr, w_rr, w_d = w_sr / norm, w_rr / norm, w_d / norm
+
+    # 1) surface reflection: Beckmann microfacet (RetroreflectiveSurfaceReflection)
+    f_sr, pdf_sr = _microfacet_eval(mat, n, wo, wi, "beckmann")
+
+    # 2) retroreflection (Eq.2-14): NDF about uo = wo with the
+    # refraction-Jacobian-widened roughness
+    nn = nt / ni
+    utn = vm.dot(ut, n, keepdims=False)
+    j1d = nv + nn * utn
+    j2d = -nn * utn + nv
+    absnv = jnp.abs(nv)
+    J1 = jnp.where(j1d > 0, absnv / jnp.maximum(j1d * j1d, 1e-12), 0.0)
+    J2 = jnp.where(j2d > 0, absnv / jnp.maximum(j2d * j2d, 1e-12), 0.0)
+    a2 = rough * rough
+    a0 = jnp.sqrt(
+        jnp.where(J1 > 0, a2 / jnp.maximum(J1, 1e-12), 0.0)
+        + jnp.where(J2 > 0, a2 / jnp.maximum(J2, 1e-12), 0.0)
+    )
+    a0 = jnp.clip(a0, 1e-3, None)
+    c_retro = jnp.clip(vm.dot(wi, wo, keepdims=False), 0.0, 1.0)
+    D = _beckmann_d(c_retro, a0)
+    F_rr = (1.0 - fresnel_schlick(jnp.clip(nv, 0.0, 1.0), f0)) * (
+        1.0 - fresnel_schlick(jnp.clip(nl, 0.0, 1.0), f0)
+    )
+    G = _beckmann_g1(jnp.abs(vm.dot(-wo, ut, keepdims=False)), rough) * \
+        _beckmann_g1(jnp.abs(vm.dot(ut, wi, keepdims=False)), rough)
+    f_rr = jnp.where(
+        jnp.abs(nl) > 1e-6, E * F_rr * G * D / jnp.maximum(jnp.abs(nl), 1e-6), 0.0
+    )
+    pdf_rr = D * c_retro
+
+    # 3) diffuse floor with multiple-scattering compensation (Eq.15-18)
+    kd = 1.0
+    brdf0 = F_rr * (1.0 - E) * (ni / nt) ** 2 * (kd / PI)
+    Fd = (1.0 - f0) * (-160.0 / 21.0)
+    f_d = brdf0 / (1.0 - kd * Fd)
+    pdf_cos = jnp.maximum(nl, 0.0) / PI
+    pdf_d = 1.0 / jnp.maximum(1.0 - pdf_cos, 1e-3)
+
+    valid = (nv > 0) & (nl > 0)
+    base = mat["base_color"]
+    f = (f_sr + jnp.where(valid, f_rr + f_d, 0.0)[..., None] * base)
+    pdf = w_sr * pdf_sr + jnp.where(
+        valid, w_rr * pdf_rr + w_d * pdf_d, 0.0
+    )
+    return f, pdf, (w_sr, w_rr, w_d), (a0, ut)
 
 
 def _retro_eval_pdf(mat, n, wo, wi):
-    a = jnp.clip(mat["roughness"], 0.02, 1.0)
-    nv = vm.dot(n, wo, keepdims=False)
-    nl = vm.dot(n, wi, keepdims=False)
-    c = jnp.clip(vm.dot(wo, wi, keepdims=False), -1.0, 1.0)  # retro alignment
-    sin2 = jnp.maximum(1.0 - c * c, 0.0)
-    # normalized spherical-gaussian-ish lobe about wo
-    sharp = 2.0 / jnp.maximum(a * a, 1e-4)
-    lobe = sharp / (2.0 * PI) * jnp.exp(-sharp * 0.5 * sin2)
-    f = _RETRO_KD / PI + _RETRO_KS * lobe / jnp.maximum(jnp.abs(nl), 1e-4)
-    valid = (nv > 0) & (nl > 0)
-    f = jnp.where(valid, f, 0.0)[..., None] * mat["base_color"]
-    pdf_cos = jnp.maximum(nl, 0.0) / PI
-    pdf = 0.5 * pdf_cos + 0.5 * jnp.where(valid, lobe, 0.0)
+    f, pdf, _, _ = _retro_components(mat, n, wo, wi)
     return f, pdf
 
 
 def _retro_sample(mat, n, wo, u1, u2, u3):
-    a = jnp.clip(mat["roughness"], 0.02, 1.0)
-    wi_d, _ = _cos_hemisphere_sample(n, u1, u2)
-    # perturb around wo with the same lobe sharpness
-    sharp = 2.0 / jnp.maximum(a * a, 1e-4)
-    u1c = jnp.clip(u1, 1e-6, 1.0 - 1e-6)
-    sin2 = jnp.minimum(-jnp.log(u1c) * 2.0 / sharp, 1.0)
-    cos_t = jnp.sqrt(1.0 - sin2)
-    sin_t = jnp.sqrt(sin2)
+    """Component pick by the normalized weights (Retroreflective::sample):
+    surface reflection samples the Beckmann half-vector; retroreflection
+    samples the widened NDF about uo = wo; diffuse is cosine."""
+    # weights depend only on (wo, n) — evaluate with wi = wo placeholder
+    _, _, (w_sr, w_rr, _), (a0, _) = _retro_components(mat, n, wo, wo)
+
+    mat_b = dict(mat)
+    h = _microfacet_sample_h(mat_b, n, u1, u2, "beckmann")
+    wi_sr = vm.normalize(2.0 * vm.dot(wo, h) * h - wo)
+
+    # Beckmann-sampled lobe about uo = wo with roughness a0
+    u1c = jnp.clip(u1, 1e-7, 1.0 - 1e-7)
+    tan2 = -(a0 * a0) * jnp.log(jnp.maximum(1.0 - u1c * 0.99, 1e-7))
+    cos_t = 1.0 / jnp.sqrt(1.0 + tan2)
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
     phi = 2.0 * PI * u2
-    local = jnp.stack([sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1)
-    wi_r = vm.normalize(vm.to_world(local, vm.normalize(wo)))
-    return jnp.where((u3 < 0.5)[..., None], wi_d, wi_r)
+    local = jnp.stack(
+        [sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t], axis=-1
+    )
+    wi_rr = vm.normalize(vm.to_world(local, vm.normalize(wo)))
+
+    wi_d, _ = _cos_hemisphere_sample(n, u1, u2)
+
+    c1 = (u3 < w_sr)[..., None]
+    c2 = (u3 < w_sr + w_rr)[..., None]
+    return jnp.where(c1, wi_sr, jnp.where(c2, wi_rr, wi_d))
 
 
 # ---------------------------------------------------------------------------
-# Car paint (car_paint.cpp + FlakesNormal role, simplified): diffuse base
-# coat + metallic-flake GGX lobe + smooth clearcoat GGX lobe.  The
-# reference perturbs the flake normal with a procedural texture; here the
-# flake lobe's roughness stands in for flake orientation spread (a normal
-# map supplies true sparkle when bound).
+# Car paint (car_paint.cpp): Fresnel-weighted clearcoat Beckmann lobe
+# over a flake layer — the PROCEDURAL FlakesNormal pattern decides per
+# shading point whether the base is a metallic flake (wide Beckmann,
+# flakes_color) or the pigment diffuse.  Shade-time flake fields
+# (coverage + tangent flake normal at the hit uv) are attached to the
+# gathered material by `carpaint_flake_fields`; unit contexts without uv
+# fall back to the expected coverage (flake_density).
 # ---------------------------------------------------------------------------
+
+
+def carpaint_flake_fields(mat, uv, ns):
+    """Attach per-lane flake data (CarPaint::applyNormalMap +
+    FlakesNormal::gen role): mat['flake_a'] coverage at uv and
+    mat['flake_nml'] the world-space flake-perturbed normal."""
+    from aten_tpu.utils.flakes import flakes_gen
+
+    nml_t, a = flakes_gen(
+        uv[..., 0], uv[..., 1],
+        mat["flake_scale"], mat["flake_size"],
+        mat["flake_size_variance"], mat["flake_normal_orientation"],
+    )
+    mat = dict(mat)
+    mat["flake_a"] = a
+    mat["flake_nml"] = vm.normalize(vm.to_world(nml_t, ns))
+    return mat
+
+
+def _carpaint_fields(mat, n):
+    from aten_tpu.utils.flakes import flake_density
+
+    dens = flake_density(mat["flake_size"])
+    a = mat.get("flake_a")
+    if a is None:
+        a = dens  # expected coverage when no uv context (unit tests)
+    n_fl = mat.get("flake_nml")
+    if n_fl is None:
+        n_fl = n
+    return dens, a, n_fl
+
+
+_FLAKE_ROUGH = 1.0   # car_paint.cpp:162 (flake lobe roughness)
+_FLAKE_IOR = 10.0    # car_paint.cpp:163
 
 
 def _carpaint_eval_pdf(mat, n, wo, wi):
     nv = vm.dot(n, wo, keepdims=False)
     nl = vm.dot(n, wi, keepdims=False)
-    h = vm.normalize(wo + wi)
-    nh = jnp.clip(vm.dot(n, h, keepdims=False), 0.0, 1.0)
-    vh = jnp.clip(vm.dot(wo, h, keepdims=False), 1e-6, 1.0)
-    f_diff = mat["base_color"] / PI * 0.6
-    a_fl = jnp.maximum(mat["roughness"] ** 2, 1e-3)
-    d_fl = _ggx_d(nh, a_fl)
-    g_fl = _ggx_g1(nv, a_fl) * _ggx_g1(nl, a_fl)
-    f_fl = (d_fl * g_fl / jnp.maximum(4.0 * nv * nl, 1e-6))[..., None] * mat["base_color"] * 0.4
-    a_cc = jnp.float32(0.01)
-    d_cc = _ggx_d(nh, a_cc)
-    g_cc = _ggx_g1(nv, a_cc) * _ggx_g1(nl, a_cc)
-    f_cc = (0.04 + 0.96 * _schlick_w(vh)) * d_cc * g_cc / jnp.maximum(4.0 * nv * nl, 1e-6)
-    f = f_diff * jnp.ones_like(mat["base_color"]) + f_fl + f_cc[..., None]
+    F = fresnel_dielectric(jnp.clip(nv, 0.0, 1.0), 1.0, mat["clearcoat_ior"])
+    dens, a, n_fl = _carpaint_fields(mat, n)
+
+    # clearcoat: Beckmann(clearcoat_roughness, clearcoat_ior)
+    mat_cc = dict(mat, roughness=mat["clearcoat_roughness"],
+                  ior=mat["clearcoat_ior"],
+                  base_color=mat["clearcoat_color"])
+    f_cc, pdf_cc = _microfacet_eval(mat_cc, n, wo, wi, "beckmann")
+
+    # flakes: wide Beckmann about the flake-perturbed normal
+    mat_fl = dict(mat, roughness=jnp.full_like(nv, _FLAKE_ROUGH),
+                  ior=jnp.full_like(nv, _FLAKE_IOR),
+                  base_color=mat["flakes_color"]
+                  * mat["flake_color_multiplier"][..., None])
+    f_fl, _ = _microfacet_eval(mat_fl, n_fl, wo, wi, "beckmann")
+    mat_fl_pdf = dict(mat_fl)
+    _, pdf_fl = _microfacet_eval(mat_fl_pdf, n, wo, wi, "beckmann")
+
+    # pigment diffuse
+    f_diff = mat["base_color"] / PI
+
     valid = (nv > 0) & (nl > 0)
-    f = jnp.where(valid[..., None], f, 0.0)
-    pdf = (
-        0.5 * jnp.maximum(nl, 0.0) / PI
-        + 0.35 * d_fl * nh / (4.0 * vh)
-        + 0.15 * d_cc * nh / (4.0 * vh)
+    f = (
+        F[..., None] * f_cc
+        + (1.0 - F)[..., None]
+        * (a[..., None] * f_fl + (1.0 - a)[..., None] * f_diff)
     )
+    f = jnp.where(valid[..., None], f, 0.0)
+    pdf_diff = jnp.maximum(nl, 0.0) / PI
+    pdf = F * pdf_cc + (1.0 - F) * (dens * pdf_fl + (1.0 - dens) * pdf_diff)
     return f, jnp.where(valid, pdf, 0.0)
 
 
 def _carpaint_sample(mat, n, wo, u1, u2, u3):
-    wi_d, _ = _cos_hemisphere_sample(n, u1, u2)
-    h_fl = _microfacet_sample_h(mat, n, u1, u2, "ggx")
-    wi_fl = vm.normalize(2.0 * vm.dot(wo, h_fl) * h_fl - wo)
-    mat_cc = dict(mat, roughness=jnp.full_like(mat["roughness"], 0.1))
-    h_cc = _microfacet_sample_h(mat_cc, n, u1, u2, "ggx")
+    nv = vm.dot(n, wo, keepdims=False)
+    F = fresnel_dielectric(jnp.clip(nv, 0.0, 1.0), 1.0, mat["clearcoat_ior"])
+    dens, _, _ = _carpaint_fields(mat, n)
+
+    mat_cc = dict(mat, roughness=mat["clearcoat_roughness"])
+    h_cc = _microfacet_sample_h(mat_cc, n, u1, u2, "beckmann")
     wi_cc = vm.normalize(2.0 * vm.dot(wo, h_cc) * h_cc - wo)
-    wi = jnp.where(
-        (u3 < 0.5)[..., None],
-        wi_d,
-        jnp.where((u3 < 0.85)[..., None], wi_fl, wi_cc),
-    )
-    return wi
+
+    mat_fl = dict(mat, roughness=jnp.full_like(nv, _FLAKE_ROUGH))
+    h_fl = _microfacet_sample_h(mat_fl, n, u1, u2, "beckmann")
+    wi_fl = vm.normalize(2.0 * vm.dot(wo, h_fl) * h_fl - wo)
+
+    wi_d, _ = _cos_hemisphere_sample(n, u1, u2)
+
+    pick_cc = (u3 < F)[..., None]
+    # re-stretch u3 for the base pick (CarPaint::sampleDirection)
+    u3b = jnp.clip((u3 - F) / jnp.maximum(1.0 - F, 1e-6), 0.0, 1.0)
+    pick_fl = (u3b < dens)[..., None]
+    return jnp.where(pick_cc, wi_cc, jnp.where(pick_fl, wi_fl, wi_d))
 
 
 # ---------------------------------------------------------------------------
