@@ -10,11 +10,16 @@ that punch through transmissive boundaries
 (TraverseRayInMedium, volume_pathtracing_impl.h:111), and crossing a
 transmissive surface updates the register (UpdateMedium :24-48).
 
-Differences vs the reference, by design: a single current-medium
-register instead of the 8-deep medium stack (misc/stack.h) — nested
-media inside media are rare in the gallery scenes; the register form
-keeps the scan carry flat.  Shadow punch-through is capped at 4
-surfaces (reference caps at 10, pathtracing_impl.h:290).
+The per-path medium STACK is a fixed-depth (4) register file carried
+as flat [N,4]+[N] arrays in the scan (the reference carries an 8-deep
+aten::stack per path, misc/stack.h; push/pop/top become masked writes
+and gathers here).  UpdateMedium semantics match
+volume_pathtracing_impl.h:24-48 exactly: a transmitted crossing pushes
+the material's medium when entering (if it has one) and pops when
+exiting.  Shadow punch-through is capped at 4 surfaces (reference caps
+at 10, pathtracing_impl.h:290) and follows TraverseRayInMedium
+(:111-210): an entering or non-medium hit occludes; an exiting medium
+hit accumulates the current medium's transmittance and pops.
 """
 from __future__ import annotations
 
@@ -40,35 +45,65 @@ from aten_tpu.volume.medium import (
 )
 
 SHADOW_PUNCH_MAX = 4
+MEDIUM_STACK_DEPTH = 4  # reference: 8 (pt_params.h:25-40); 4 covers
+                        # glass-shell-in-smoke-in-air with one spare
 T_FAR = jnp.float32(1e8)
 
 
-def _shadow_transmittance(scene, ro, rd, dist, med, seed):
-    """RGB transmittance along a shadow segment: opaque hit -> 0; each
-    transmissive boundary is punched through, accumulating the current
-    medium's transmittance over the traversed sub-segment."""
+def _stack_top(mstack, msize):
+    """Current medium id (-1 when the stack is empty)."""
+    idx = jnp.clip(msize - 1, 0, MEDIUM_STACK_DEPTH - 1)
+    top = jnp.take_along_axis(mstack, idx[:, None], axis=1)[:, 0]
+    return jnp.where(msize > 0, top, -1)
+
+
+def _stack_push(mstack, msize, mid, do):
+    slots = jnp.arange(MEDIUM_STACK_DEPTH, dtype=jnp.int32)[None, :]
+    ok = do & (msize < MEDIUM_STACK_DEPTH)
+    write = ok[:, None] & (slots == msize[:, None])
+    mstack = jnp.where(write, mid[:, None], mstack)
+    return mstack, jnp.where(ok, msize + 1, msize)
+
+
+def _stack_pop(msize, do):
+    return jnp.where(do & (msize > 0), msize - 1, msize)
+
+
+def _update_medium(mstack, msize, transmitted, entering, mat, active):
+    """UpdateMedium (volume_pathtracing_impl.h:24-48): transmitted+enter
+    pushes the material's medium (if any); transmitted+exit pops."""
+    has_med = mat["medium"] >= 0
+    mstack, msize = _stack_push(
+        mstack, msize, mat["medium"], active & transmitted & entering & has_med
+    )
+    msize = _stack_pop(msize, active & transmitted & ~entering)
+    return mstack, msize
+
+
+def _shadow_transmittance(scene, ro, rd, dist, mstack, msize, seed):
+    """RGB transmittance along a shadow segment (TraverseRayInMedium,
+    volume_pathtracing_impl.h:111-210): a hit that ENTERS a surface or
+    hits a non-medium surface occludes; a hit EXITING a medium surface
+    accumulates the current medium's transmittance over the traversed
+    sub-segment and pops the (value-copied) medium stack."""
     N = ro.shape[0]
     tr = jnp.ones((N, 3), jnp.float32)
     remaining = dist
-    cur_med = med
     for k in range(SHADOW_PUNCH_MAX):
+        cur_med = _stack_top(mstack, msize)
         hitres = traverse(scene, ro, rd, t_max=remaining, t_min=1e-3)
         seg = jnp.where(hitres["hit"], hitres["t"], remaining)
         tr = tr * transmittance(scene, cur_med, ro, rd, seg, seed + jnp.uint32(k))
         h = eval_hit(scene, ro, rd, hitres)
         mat = gather_material(scene["materials"], h["mtl"])
-        transmissive = (
-            (mat["type"] == MaterialType.REFRACTION)
-            | (mat["type"] == MaterialType.MICROFACET_REFRACTION)
-        ) & (mat["medium"] >= 0)
-        blocked = hitres["hit"] & ~transmissive
+        has_med = mat["medium"] >= 0
+        entering = vm.dot(-rd, h["ns"], keepdims=False) > 0.0
+        blocked = hitres["hit"] & (~has_med | entering)
         tr = jnp.where(blocked[..., None], 0.0, tr)
-        # crossing the boundary flips the medium register
-        entering = vm.dot(h["ns"], -rd, keepdims=False) > 0.0
-        cur_med = jnp.where(
-            hitres["hit"] & transmissive,
-            jnp.where(entering, mat["medium"], -1),
-            cur_med,
+        # exiting a medium surface: pop and continue straight through
+        mstack, msize = _update_medium(
+            mstack, msize, jnp.ones_like(entering), entering, mat,
+            hitres["hit"] & ~blocked,
         )
         ro = jnp.where(
             hitres["hit"][..., None], h["p"] + rd * 1e-3, ro
@@ -99,10 +134,14 @@ def _trace_volpt(
     alive = vz == 0.0
     pdf_prev = jnp.ones((N,), jnp.float32) + vz
     prev_singular = vz == 0.0
-    medium = jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32)
+    mstack = jnp.full((N, MEDIUM_STACK_DEPTH), -1, jnp.int32) \
+        + vz.astype(jnp.int32)[:, None]
+    msize = jnp.zeros((N,), jnp.int32) + vz.astype(jnp.int32)
 
     def bounce_body(carry, bounce):
-        (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, medium) = carry
+        (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular,
+         mstack, msize) = carry
+        medium = _stack_top(mstack, msize)
         hit = traverse(scene, ro, rd)
         h = eval_hit(scene, ro, rd, hit)
         mat = gather_material(scene["materials"], h["mtl"])
@@ -140,7 +179,8 @@ def _trace_volpt(
             cos_sc = vm.dot(-rd, ls["dir"], keepdims=False)
             ph = hg_phase(ms["g"], cos_sc)
             tr = _shadow_transmittance(
-                scene, p_s, ls["dir"], ls["dist"] * 0.999, medium, med_seed
+                scene, p_s, ls["dir"], ls["dist"] * 0.999, mstack, msize,
+                med_seed,
             )
             dist2 = jnp.maximum(ls["dist"] * ls["dist"], 1e-8)
             cos_l = jnp.maximum(vm.dot(ls["nml"], -ls["dir"], keepdims=False), 0.0)
@@ -204,7 +244,7 @@ def _trace_volpt(
             pdf_b2 = brdf_mod.eval_pdf(mat, h["ns"], wo, ls2["dir"])
             tr2 = _shadow_transmittance(
                 scene, h["p"] + n_or * 1e-3, ls2["dir"], ls2["dist"] * 0.999,
-                medium, med_seed + jnp.uint32(7),
+                mstack, msize, med_seed + jnp.uint32(7),
             )
             dist2b = jnp.maximum(ls2["dist"] * ls2["dist"], 1e-8)
             cos_l2 = jnp.maximum(vm.dot(ls2["nml"], -ls2["dir"], keepdims=False), 0.0)
@@ -251,14 +291,11 @@ def _trace_volpt(
             (surf_alive & good)[..., None], throughput * weight, throughput
         )
 
-        # medium register update on transmission (UpdateMedium)
+        # medium stack update on transmission (UpdateMedium)
         entering = vm.dot(h["ns"], wo, keepdims=False) > 0.0
-        new_med = jnp.where(
-            samp["transmission"] & (mat["medium"] >= 0),
-            jnp.where(entering, mat["medium"], -1),
-            medium,
+        mstack, msize = _update_medium(
+            mstack, msize, samp["transmission"], entering, mat, surf_alive
         )
-        medium = jnp.where(surf_alive, new_med, medium)
 
         # choose next ray: volume scatter vs surface bounce
         off_n = jnp.where(samp["transmission"][..., None], -n_or, n_or)
@@ -272,10 +309,12 @@ def _trace_volpt(
         pdf_prev = jnp.where(scattered, 1.0, samp["pdf"])
         prev_singular = jnp.where(scattered, True, samp["singular"])
         return (
-            ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, medium
+            ro, rd, throughput, radiance, alive, pdf_prev, prev_singular,
+            mstack, msize,
         ), None
 
-    carry = (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, medium)
+    carry = (ro, rd, throughput, radiance, alive, pdf_prev, prev_singular,
+             mstack, msize)
     carry, _ = jax.lax.scan(
         bounce_body, carry, jnp.arange(max_depth, dtype=jnp.uint32)
     )

@@ -9,11 +9,13 @@ reference's live meters (`Mrays/sec = W*H*samples/elapsed`,
 the headline metric (same name as round 1) for the driver.
 
 Timing protocol: through the axon tunnel `block_until_ready` returns
-early and device->host pulls crawl, so each config chains N dependent
-frames inside jitted code and pulls ONE scalar; wall/N is honest
-per-frame device time.  (Round-1's 1186 Mrays/s figure used the broken
-protocol; `vs_baseline` for that metric is computed against it anyway —
-the honest value is what it is.)
+early and device->host pulls crawl, so timing either chains N dependent
+frames inside one jit pulling ONE scalar (fast traversal kernels) or
+pulls a per-frame SCALAR (renderer configs — chaining their big
+programs crashes the remote compiler).  Either way only scalars cross
+the tunnel inside the timed region.  (Round-1's 1186 Mrays/s figure
+used the broken protocol; `vs_baseline` for that metric is computed
+against it anyway — the honest value is what it is.)
 """
 from __future__ import annotations
 
@@ -84,6 +86,22 @@ def dep_u32(base, dep):
     return jnp.uint32(base) + (dep * 0.0).astype(jnp.uint32)
 
 
+def time_seq(frame_scalar, n=3, reps=2):
+    """Sequential per-frame timing: frame_scalar(i) -> device scalar,
+    pulled to host each frame (forces completion; the pull is a tiny
+    RPC vs the 100ms+ renderer frames).  Used where chaining frames in
+    one jit makes the program big enough to crash the remote compiler
+    (26M-lane path state, triple-nested volume loops)."""
+    _ = float(frame_scalar(0))  # compile + warm
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for i in range(n):
+            _ = float(frame_scalar(i))
+        best = min(best, time.perf_counter() - t0)
+    return best / n
+
+
 def bench_traversal(results):
     from aten_tpu.scene import scenedefs
     from aten_tpu.accel.traverse import traverse
@@ -129,12 +147,13 @@ def bench_pt(results):
     ca = cam.arrays()
     spp = 50
 
-    def frame(i, dep, _s=scene, _ca=ca):
-        img = render_sample(_s, _ca, W, H, dep_u32(1, dep),
-                            jnp.uint32(i * spp), 100, 5, 3, spp_chunk=spp)
-        return img[0, 0, 0]
+    @jax.jit
+    def frame_scalar(i):
+        img = render_sample(scene, ca, W, H, jnp.uint32(1),
+                            jnp.uint32(i) * spp, 100, 5, 3, spp_chunk=spp)
+        return img.reshape(-1)[0]
 
-    sec = time_chain(frame, n=2)
+    sec = time_seq(frame_scalar, n=2)
     rays = W * H * spp
     results.append(emit("cornell_100spp_mrays", rays / sec / 1e6, "Mrays/s",
                         note=f"512x512x100spp NEE depth5, {sec*1e3:.0f} ms/frame, "
@@ -153,12 +172,13 @@ def bench_pt(results):
     scene, cam = material_test_scene(W, H, envmap=env)
     ca = cam.arrays()
 
-    def frame(i, dep, _s=scene, _ca=ca):
-        img = render_sample(_s, _ca, W, H, dep_u32(1, dep), jnp.uint32(0),
+    @jax.jit
+    def frame_scalar(i):
+        img = render_sample(scene, ca, W, H, jnp.uint32(1), jnp.uint32(0),
                             32, 5, 3, spp_chunk=32)
-        return img[0, 0, 0]
+        return img.reshape(-1)[0]
 
-    sec = time_chain(frame, n=2)
+    sec = time_seq(frame_scalar, n=2)
     rays = W * H * 32
     results.append(emit("mtrl_zoo_ibl_mrays", rays / sec / 1e6, "Mrays/s",
                         note=f"512x512x32spp 11-material zoo + IBL, "
@@ -180,25 +200,18 @@ def bench_sponza_svgf(results):
     state0 = dict(state0, w2v=w2v, v2c=v2c)
 
     @jax.jit
-    def chained():
-        acc = jnp.float32(0)
-        state = state0
-        for i in range(3):
-            img, aovs = render_sample_with_aovs(
-                scene, ca, W, H, dep_u32(1, acc), jnp.uint32(i), 1, 5, 3)
-            out, state = svgf._svgf_step_jit(
-                img, aovs, state, params=params, width=W, height=H)
-            state = dict(state, w2v=w2v, v2c=v2c)
-            acc = acc + out[0, 0, 0]
-        return acc
+    def frame(i, state):
+        img, aovs = render_sample_with_aovs(
+            scene, ca, W, H, jnp.uint32(1), jnp.uint32(i), 1, 5, 3)
+        out, state = svgf._svgf_step_jit(
+            img, aovs, state, params=params, width=W, height=H)
+        state = dict(state, w2v=w2v, v2c=v2c)
+        return out.reshape(-1)[0], state
 
-    _ = float(chained())
-    best = 1e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _ = float(chained())
-        best = min(best, time.perf_counter() - t0)
-    sec = best / 3
+    def frame_scalar(i):
+        return frame(jnp.uint32(i), state0)[0]
+
+    sec = time_seq(frame_scalar, n=3)
     results.append(emit("sponza_svgf_1spp_ms", sec * 1e3, "ms/frame",
                         note=f"512x512 1spp depth5 + SVGF denoise "
                              f"({W*H/sec/1e6:.1f} Mrays/s primary), "
@@ -215,22 +228,15 @@ def bench_restir(results):
     state0 = restir.init_state(H, W)
 
     @jax.jit
-    def chained():
-        acc = jnp.float32(0)
-        state = state0
-        for i in range(3):
-            img, state = restir.restir_direct_sample(
-                scene, ca, W, H, dep_u32(1, acc) + jnp.uint32(i), state)
-            acc = acc + img.reshape(-1)[0]
-        return acc
+    def frame(i, state):
+        img, state = restir.restir_direct_sample(
+            scene, ca, W, H, jnp.uint32(1) + i, state)
+        return img.reshape(-1)[0], state
 
-    _ = float(chained())
-    best = 1e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _ = float(chained())
-        best = min(best, time.perf_counter() - t0)
-    sec = best / 3
+    def frame_scalar(i):
+        return frame(jnp.uint32(i), state0)[0]
+
+    sec = time_seq(frame_scalar, n=3)
     results.append(emit("restir_126lights_ms", sec * 1e3, "ms/frame",
                         note=f"512x512 ReSTIR direct, 126 point lights "
                              f"({W*H/sec/1e6:.1f} Mrays/s primary), "
@@ -245,12 +251,13 @@ def bench_volume(results):
     scene, cam = hetero_volume_scene(W, H)
     ca = cam.arrays()
 
-    def frame(i, dep, _s=scene, _ca=ca):
-        img = render_volpt_sample(_s, _ca, W, H, dep_u32(1, dep),
+    @jax.jit
+    def frame_scalar(i):
+        img = render_volpt_sample(scene, ca, W, H, jnp.uint32(1),
                                   jnp.uint32(i), 4, 8, 4)
-        return img[0, 0, 0]
+        return img.reshape(-1)[0]
 
-    sec = time_chain(frame, n=3)
+    sec = time_seq(frame_scalar, n=3)
     results.append(emit("hetero_volume_ms", sec * 1e3, "ms/frame",
                         note="256x256x4spp delta-tracked heterogeneous medium"))
 
@@ -266,22 +273,11 @@ def bench_fwd_bwd(results):
     step = make_train_step(W, H, spp=4, max_depth=3, rr_depth=2, mesh=mesh)
     target = jnp.zeros((H, W, 3), jnp.float32)
 
-    @jax.jit
-    def chained():
-        acc = jnp.float32(0)
-        s = scene
-        for i in range(2):
-            loss, s = step(s, ca, target, dep_u32(1, acc))
-            acc = acc + loss
-        return acc
+    def frame_scalar(i):
+        loss, _ = step(scene, ca, target, jnp.uint32(i))
+        return loss
 
-    _ = float(chained())
-    best = 1e9
-    for _ in range(2):
-        t0 = time.perf_counter()
-        _ = float(chained())
-        best = min(best, time.perf_counter() - t0)
-    sec = best / 2
+    sec = time_seq(frame_scalar, n=2)
     rays = W * H * 4
     results.append(emit("cornell_fwd_bwd_mrays", rays / sec / 1e6, "Mrays/s",
                         note=f"256x256x4spp value_and_grad train step "

@@ -58,3 +58,60 @@ def test_add_grid_medium_routes_rays(tmp_path):
     c = img[12, 12].mean()       # through the absorbing shell
     edge = img[1, 1].mean()      # around it
     assert c < edge * 0.9
+
+
+def test_nvdb_write_read_roundtrip(tmp_path):
+    """Full NanoVDB codec-NONE blob: write -> tree-walk decode ->
+    bit-identical dense grid + world bbox (v32.3 layout)."""
+    from aten_tpu.volume.grids import load_nvdb_dense, write_nvdb
+
+    d = smoke_plume(res=32)
+    p = str(tmp_path / "plume.nvdb")
+    write_nvdb(p, d, bmin=(-1.5, 0.0, -1.5), bmax=(1.5, 3.0, 1.5))
+    h = read_nvdb_header(p)
+    assert h["grid_count"] == 1 and h["codec"] == 0
+    d2, lo, hi = load_nvdb_dense(p)
+    np.testing.assert_array_equal(d2, d)
+    np.testing.assert_allclose(lo, [-1.5, 0.0, -1.5])
+    np.testing.assert_allclose(hi, [1.5, 3.0, 1.5])
+
+
+def test_nvdb_sparse_and_nonmultiple8(tmp_path):
+    """Sparse occupancy + non-multiple-of-8 dims survive the tree walk."""
+    from aten_tpu.volume.grids import load_nvdb_dense, write_nvdb
+
+    rng = np.random.default_rng(3)
+    d = np.zeros((21, 14, 35), np.float32)
+    d[2:9, 3:11, 20:33] = rng.uniform(0.1, 2.0, (7, 8, 13)).astype(np.float32)
+    p = str(tmp_path / "sparse.nvdb")
+    write_nvdb(p, d)
+    d2, _, _ = load_nvdb_dense(p)
+    np.testing.assert_array_equal(d2, d)
+
+
+def test_nvdb_renders_through_volpt(tmp_path):
+    """An .nvdb-ingested grid drives the delta-tracked medium end to
+    end (the reference's grid_loader_device.cu -> render path)."""
+    import jax.numpy as jnp
+
+    from aten_tpu.core.camera import PinholeCamera
+    from aten_tpu.integrator.volpt import render_volpt
+    from aten_tpu.scene.materials import MaterialType
+    from aten_tpu.scene.scene import SceneBuilder
+    from aten_tpu.volume.grids import load_nvdb_dense, write_nvdb
+
+    d = sphere_shell(res=16) * 6.0
+    p = str(tmp_path / "shell.nvdb")
+    write_nvdb(p, d, bmin=(-1, -1, -1), bmax=(1, 1, 1))
+    d2, lo, hi = load_nvdb_dense(p)
+
+    sb = SceneBuilder()
+    lm = sb.add_material(MaterialType.EMISSIVE, base_color=(2, 2, 2))
+    sb.add_quad((-6, -6, -4), (6, -6, -4), (6, 6, -4), (-6, 6, -4), lm)
+    add_grid_medium(sb, d2, lo, hi, sigma_s=(0.1,) * 3, sigma_a=(3.0,) * 3)
+    sc = sb.build()
+    cam = PinholeCamera(origin=(0, 0, 6), lookat=(0, 0, 0), vfov_deg=30,
+                        width=16, height=16)
+    img = np.asarray(render_volpt(sc, cam, spp=4, max_depth=4))
+    assert np.isfinite(img).all()
+    assert img[8, 8].mean() < img[1, 1].mean()  # shell absorbs

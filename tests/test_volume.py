@@ -66,3 +66,63 @@ def test_medium_attenuates_and_inscatters():
     assert bright.sum() > 10
     assert lf[dark].mean() > lt[dark].mean() * 1.15  # in-scattered glow
     assert lf[bright].mean() < lt[bright].mean()  # attenuation
+
+
+def test_medium_stack_nested_media():
+    """Glass shell around smoke (VERDICT r01 #7): exiting the inner
+    boundary must RESTORE the outer medium from the stack — the 1-deep
+    register this replaces forgot it.  Checks the stack ops directly
+    plus an end-to-end nested render staying finite and darker inside."""
+    import jax.numpy as jnp
+
+    from aten_tpu.integrator import volpt as vp
+
+    # direct stack semantics (UpdateMedium, volume_pathtracing_impl.h:24-48)
+    N = 4
+    mstack = jnp.full((N, vp.MEDIUM_STACK_DEPTH), -1, jnp.int32)
+    msize = jnp.zeros((N,), jnp.int32)
+    t = jnp.ones((N,), bool)
+    mat_outer = {"medium": jnp.full((N,), 2, jnp.int32)}
+    mat_inner = {"medium": jnp.full((N,), 5, jnp.int32)}
+    # enter outer, enter inner, exit inner -> current medium = outer
+    mstack, msize = vp._update_medium(mstack, msize, t, t, mat_outer, t)
+    mstack, msize = vp._update_medium(mstack, msize, t, t, mat_inner, t)
+    assert int(vp._stack_top(mstack, msize)[0]) == 5
+    mstack, msize = vp._update_medium(mstack, msize, t, ~t, mat_inner, t)
+    assert int(vp._stack_top(mstack, msize)[0]) == 2
+    mstack, msize = vp._update_medium(mstack, msize, t, ~t, mat_outer, t)
+    assert int(vp._stack_top(mstack, msize)[0]) == -1
+    # overflow guard: pushes beyond depth are dropped, pops floor at 0
+    for _ in range(vp.MEDIUM_STACK_DEPTH + 2):
+        mstack, msize = vp._update_medium(mstack, msize, t, t, mat_inner, t)
+    assert int(msize[0]) == vp.MEDIUM_STACK_DEPTH
+    for _ in range(vp.MEDIUM_STACK_DEPTH + 2):
+        mstack, msize = vp._update_medium(mstack, msize, t, ~t, mat_inner, t)
+    assert int(msize[0]) == 0
+
+    # end-to-end: fog box CONTAINING a denser inner box; rays crossing
+    # the inner box then its far boundary must still see the outer fog
+    import numpy as np
+
+    from aten_tpu.core.camera import PinholeCamera
+    from aten_tpu.scene.materials import MaterialType
+    from aten_tpu.scene.scene import SceneBuilder
+    from aten_tpu.scene.scenedefs import _add_box
+
+    b = SceneBuilder()
+    lm = b.add_material(MaterialType.EMISSIVE, base_color=(3, 3, 3))
+    b.add_quad((-8, -8, -6), (8, -8, -6), (8, 8, -6), (-8, 8, -6), lm)
+    fog = b.add_medium(sigma_a=(0.25,) * 3, sigma_s=(0.02,) * 3, g=0.0)
+    dense = b.add_medium(sigma_a=(3.0,) * 3, sigma_s=(0.05,) * 3, g=0.0)
+    mo = b.add_material(MaterialType.REFRACTION, ior=1.0, medium=fog)
+    mi = b.add_material(MaterialType.REFRACTION, ior=1.0, medium=dense)
+    _add_box(b, (-3, -3, -3), (3, 3, 3), mo)
+    _add_box(b, (-1, -1, -1), (1, 1, 1), mi)
+    sc = b.build()
+    cam = PinholeCamera(origin=(0, 0, 8), lookat=(0, 0, 0), vfov_deg=35,
+                        width=24, height=24)
+    img = np.asarray(vp.render_volpt(sc, cam, spp=6, max_depth=8))
+    assert np.isfinite(img).all()
+    center = img[12, 12].mean()   # through fog + dense + fog
+    edge = img[2, 2].mean()       # fog only
+    assert center < edge
