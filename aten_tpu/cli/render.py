@@ -52,6 +52,13 @@ def build_parser():
     p.add_argument("--checkpoint", help="progressive-state file (.npz)")
     p.add_argument("--camera", nargs=6, type=float, metavar="V",
                    help="origin xyz + lookat xyz (obj scenes)")
+    p.add_argument("--camera-type", choices=["pinhole", "thinlens", "equirect"],
+                   default="pinhole",
+                   help="thinlens adds depth of field (--lens-radius/"
+                        "--focus-dist); equirect renders a 360 lat-long")
+    p.add_argument("--lens-radius", type=float, default=0.05)
+    p.add_argument("--focus-dist", type=float, default=0.0,
+                   help="0 = focus at the lookat point")
     p.add_argument("--vfov", type=float, default=45.0)
     p.add_argument("--stats", action="store_true",
                    help="print Mrays/s + ms/frame (the reference's live "
@@ -85,9 +92,32 @@ def make_scene(args):
         cam = PinholeCamera(origin=tuple(o), lookat=tuple(la),
                             vfov_deg=args.vfov,
                             width=args.width, height=args.height)
-        return scene, cam
+        return scene, _convert_camera(cam, args)
     fn = getattr(scenedefs, SCENES[args.scene])
-    return fn(args.width, args.height)
+    scene, cam = fn(args.width, args.height)
+    return scene, _convert_camera(cam, args)
+
+
+def _convert_camera(cam, args):
+    """Re-seat the scene's pinhole camera as the requested type."""
+    import numpy as np
+
+    from aten_tpu.core.camera import (EquirectCamera, PinholeCamera,
+                                      ThinLensCamera)
+
+    if args.camera_type == "pinhole" or not isinstance(cam, PinholeCamera):
+        return cam
+    if args.camera_type == "equirect":
+        return EquirectCamera(origin=cam.origin, lookat=cam.lookat,
+                              width=args.width, height=args.height)
+    focus = args.focus_dist or float(
+        np.linalg.norm(np.asarray(cam.lookat) - np.asarray(cam.origin))
+    )
+    return ThinLensCamera(
+        origin=cam.origin, lookat=cam.lookat, vfov_deg=cam.vfov_deg,
+        width=args.width, height=args.height,
+        lens_radius=args.lens_radius, focus_dist=focus,
+    )
 
 
 def main(argv=None):
@@ -113,14 +143,15 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     if args.integrator == "pt":
-        from aten_tpu.integrator.pathtracer import render_sample
+        from aten_tpu.integrator.pathtracer import camera_type_of, render_sample
 
         ca = cam.arrays()
         for s in range(args.spp):
             film.accumulate(
                 render_sample(scene, ca, W, H, jnp.uint32(frame),
                               jnp.uint32(film.count), args.spp,
-                              args.max_depth, args.rr_depth)
+                              args.max_depth, args.rr_depth,
+                              cam_type=camera_type_of(cam))
             )
         img = film.image()
     elif args.integrator == "svgf":

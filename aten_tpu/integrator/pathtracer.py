@@ -176,7 +176,7 @@ def eval_hit(scene, ro, rd, hit):
 
 def _trace_paths(
     scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
-    y0=0, tile_h=None, want_aovs=False, spp_chunk=1,
+    y0=0, tile_h=None, want_aovs=False, spp_chunk=1, cam_type="pinhole",
 ):
     """Path-traced radiance [tile_h*width, 3], averaged over spp_chunk
     TRUE samples per pixel traced in ONE dispatch.
@@ -218,7 +218,15 @@ def _trace_paths(
     ju, jv, state = smp.next_2d(state)
     s = (px + ju) / width
     t = (jnp.float32(height - 1) - py + jv) / height
-    ro, rd = cam_mod.generate_ray(cam_arrays, s, t)
+    # camera dispatch (the reference's per-app camera choice; ThinLens
+    # draws its lens-disc sample from the same CMJ stream)
+    if cam_type == "thinlens":
+        ul1, ul2, state = smp.next_2d(state)
+        ro, rd = cam_mod.generate_ray_thinlens(cam_arrays, s, t, ul1, ul2)
+    elif cam_type == "equirect":
+        ro, rd = cam_mod.generate_ray_equirect(cam_arrays, s, t)
+    else:
+        ro, rd = cam_mod.generate_ray(cam_arrays, s, t)
 
     # vma-seeded carries (see traverse.py note): inherit sharding tag from rd.
     vz = rd[..., 0] * 0.0
@@ -445,16 +453,17 @@ def _trace_paths(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "spp", "max_depth", "rr_depth", "spp_chunk"),
+    static_argnames=("width", "height", "spp", "max_depth", "rr_depth",
+                     "spp_chunk", "cam_type"),
 )
 def render_sample(
     scene, cam_arrays, width, height, frame, sample, spp=1, max_depth=5, rr_depth=3,
-    spp_chunk=1,
+    spp_chunk=1, cam_type="pinhole",
 ):
     """Mean radiance of samples [sample, sample+spp_chunk) in ONE dispatch."""
     rad = _trace_paths(
         scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
-        spp_chunk=spp_chunk,
+        spp_chunk=spp_chunk, cam_type=cam_type,
     )
     return rad.reshape(height, width, 3)
 
@@ -477,6 +486,17 @@ def render_sample_with_aovs(
     return img, out
 
 
+def camera_type_of(cam):
+    """Static camera-type tag from the camera instance."""
+    from aten_tpu.core.camera import EquirectCamera, ThinLensCamera
+
+    if isinstance(cam, ThinLensCamera):
+        return "thinlens"
+    if isinstance(cam, EquirectCamera):
+        return "equirect"
+    return "pinhole"
+
+
 def render_image(scene, cam, spp=16, max_depth=5, rr_depth=3, frame=0,
                  spp_chunk=None):
     """Accumulate spp samples.  Samples are traced spp_chunk at a time
@@ -484,6 +504,7 @@ def render_image(scene, cam, spp=16, max_depth=5, rr_depth=3, frame=0,
     state stays a few hundred MB) — a host-side per-sample loop pays the
     ~50 ms dispatch floor once per SAMPLE instead of once per CHUNK."""
     cam_arrays = cam.arrays()
+    cam_type = camera_type_of(cam)
     if spp_chunk is None:
         # cap lanes at ~4M (512x512x16): carries stay < ~1 GB HBM
         spp_chunk = max(1, min(spp, (4 << 20) // (cam.width * cam.height)))
@@ -502,6 +523,7 @@ def render_image(scene, cam, spp=16, max_depth=5, rr_depth=3, frame=0,
             max_depth,
             rr_depth,
             spp_chunk=spp_chunk,
+            cam_type=cam_type,
         ) * spp_chunk
     return acc / spp
 
