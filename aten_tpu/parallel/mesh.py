@@ -160,9 +160,36 @@ def render_tiled(
     return f(scene, cam_arrays, frame, sample)
 
 
-# Material-table fields exposed to gradient-based optimization by default.
-# (roughness/ior can be added; their detached-sampling gradients are weaker.)
+# Parameters exposed to gradient-based optimization by default.  Each
+# entry is "<group>.<field>" over the scene pytree: material-table
+# fields, light-table fields (le / pos), or the texture atlas
+# ("textures.tex_stack") — the three north-star parameter classes
+# (BASELINE.md).  Bare names mean materials.<name>.
 TRAINABLE_FIELDS = ("base_color",)
+
+
+def _get_param(scene, spec):
+    group, _, field = spec.partition(".")
+    if not field:
+        group, field = "materials", group
+    if group == "textures":
+        return scene[field]
+    return scene[group][field]
+
+
+def _set_params(scene, params):
+    repl = {}
+    groups = {}
+    for spec, v in params.items():
+        group, _, field = spec.partition(".")
+        if not field:
+            group, field = "materials", group
+        if group == "textures":
+            repl[field] = v
+        else:
+            groups.setdefault(group, dict(scene[group]))[field] = v
+    repl.update(groups)
+    return scene.replace(**repl)
 
 
 def make_train_step(
@@ -184,10 +211,8 @@ def make_train_step(
     assert height % n == 0
     tile_h = height // n
 
-    def loss_fn(mat_params, scene, cam_arrays, target_tile, y0, frame):
-        mats = dict(scene["materials"])
-        mats.update(mat_params)
-        scene2 = scene.replace(materials=mats)
+    def loss_fn(params, scene, cam_arrays, target_tile, y0, frame):
+        scene2 = _set_params(scene, params)
         rad = _trace_paths(
             scene2, cam_arrays, width, height, frame, jnp.uint32(0), spp,
             max_depth, rr_depth, y0=y0, tile_h=tile_h,
@@ -198,7 +223,7 @@ def make_train_step(
     def tile_step(scene, cam_arrays, target_tile, frame):
         d = _flat_device_index(mesh, axes)
         y0 = (d * tile_h).astype(jnp.int32)
-        mat_params = {k: scene["materials"][k] for k in fields}
+        mat_params = {k: _get_param(scene, k) for k in fields}
         loss, g = jax.value_and_grad(loss_fn)(
             mat_params, scene, cam_arrays, target_tile, y0, frame
         )
@@ -217,7 +242,7 @@ def make_train_step(
     @jax.jit
     def step(scene, cam_arrays, target, frame):
         loss, g = smapped(scene, cam_arrays, target, frame)
-        mats = dict(scene["materials"])
+        new = {}
         for k in fields:
             # RMS-normalized update: parameter scales differ by orders of
             # magnitude (wall albedo ~0.7 vs emitter radiance ~36), so raw
@@ -225,9 +250,10 @@ def make_train_step(
             # every field at a bounded per-element rate.
             gk = g[k]
             rms = jnp.sqrt(jnp.mean(gk * gk) + 1e-12)
-            mats[k] = mats[k] - lr * gk / rms
-        if "base_color" in fields:
-            mats["base_color"] = jnp.clip(mats["base_color"], 0.0, None)
-        return loss, scene.replace(materials=mats)
+            new[k] = _get_param(scene, k) - lr * gk / rms
+            if k.endswith("base_color") or k == "base_color" or \
+                    k == "textures.tex_stack":
+                new[k] = jnp.clip(new[k], 0.0, None)
+        return loss, _set_params(scene, new)
 
     return step
