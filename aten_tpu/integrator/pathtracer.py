@@ -106,9 +106,10 @@ def eval_hit(scene, ro, rd, hit):
             "uv0": scene["tri_uv0"], "uv1": scene["tri_uv1"],
             "uv2": scene["tri_uv2"],
             "mtl": scene["tri_mtl"], "light": scene["tri_light"],
+            "mesh": scene["tri_mesh"],
         },
         tid,
-        int_fields=("mtl", "light"),
+        int_fields=("mtl", "light", "mesh"),
     )
     ns_tri = vm.normalize(w * tg["n0"] + u * tg["n1"] + v * tg["n2"])
     ng_tri = vm.normalize(vm.cross(tg["e1"], tg["e2"]))
@@ -144,6 +145,8 @@ def eval_hit(scene, ro, rd, hit):
         "uv": uv,
         "mtl": jnp.where(is_tri, mtl_tri, mtl_sph),
         "light": jnp.where(is_tri, light_tri, light_sph),
+        # mesh id (TriangleGroupMesh role); spheres get unique synthetic ids
+        "mesh": jnp.where(is_tri, tg["mesh"], jnp.int32(1 << 20) + sid),
     }
     if scene.get("has_voxel_lod"):
         # Voxel-LOD hit resolution (EvaluateHitResult.h voxel branch +

@@ -32,7 +32,7 @@ from aten_tpu.scene.lights import sample_light
 from aten_tpu.scene.materials import MaterialType, gather_material
 from aten_tpu.shading import brdf as brdf_mod
 
-M_CANDIDATES = 16
+M_CANDIDATES = 32  # initial light candidates (reference M)
 SPATIAL_NEIGHBORS = 4
 SPATIAL_RADIUS = 8
 TEMPORAL_M_CAP = 20  # clamp history influence (restir_impl.h temporal cap)
@@ -152,7 +152,36 @@ def init_state(height, width):
         "normal": jnp.zeros((N, 3), jnp.float32),
         "depth": jnp.full((N,), -1.0, jnp.float32),
         "valid": jnp.zeros((N,), bool),
+        "mtl": jnp.full((N,), -1, jnp.int32),
+        "mesh": jnp.full((N,), -1, jnp.int32),
+        # previous camera basis for motion reprojection (None first frame)
+        "cam": {
+            "origin": jnp.zeros(3), "right": jnp.zeros(3),
+            "up": jnp.zeros(3), "forward": jnp.zeros(3),
+        },
     }
+
+
+def _reproject_prev_pixel(prev_cam, p, width, height):
+    """Previous-frame pixel of world point p under the previous pinhole
+    camera (the reference reads a rasterized motion-depth buffer,
+    restir_impl.h:344-357; an analytic reprojection replaces it for
+    camera motion — dynamic-object motion needs object MVs, as SVGF)."""
+    d = p - prev_cam["origin"]
+    f = prev_cam["forward"]
+    r = prev_cam["right"]
+    u = prev_cam["up"]
+    k = vm.dot(d, f, keepdims=False) / jnp.maximum(
+        jnp.sum(f * f), 1e-12
+    )
+    ks = jnp.maximum(k, 1e-6)
+    s = 0.5 + vm.dot(d, r, keepdims=False) / (ks * jnp.maximum(jnp.sum(r * r), 1e-12))
+    t = 0.5 + vm.dot(d, u, keepdims=False) / (ks * jnp.maximum(jnp.sum(u * u), 1e-12))
+    pxp = jnp.floor(s * width).astype(jnp.int32)
+    pyp = (jnp.float32(height - 1) - jnp.floor(t * height)).astype(jnp.int32)
+    ok = (k > 0) & (pxp >= 0) & (pxp < width) & (pyp >= 0) & (pyp < height)
+    idx = jnp.clip(pyp * width + pxp, 0, width * height - 1)
+    return idx, ok
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height"))
@@ -217,11 +246,25 @@ def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
     blocked = occluded(scene, h["p"] + n_or * 1e-3, wi_win, dist_win)
     r = dict(r, W=jnp.where(blocked, 0.0, r["W"]))
 
-    # ---- temporal reuse (ApplyTemporalReuse, restir_impl.h:275)
-    prev = state["reservoir"]
-    ndot = jnp.sum(h["ns"] * state["normal"], axis=-1)
-    depth_ok = jnp.abs(state["depth"] - hit["t"]) < 0.1 * jnp.maximum(hit["t"], 1e-3)
-    accept = state["valid"] & shadeable & (ndot > 0.9) & depth_ok
+    # ---- temporal reuse (ApplyTemporalReuse, restir_impl.h:275-400):
+    # motion-reprojected history + the reference's acceptance tests
+    # (IsAcceptableNeighbor: material type, mesh id, normal >= 0.95)
+    ridx, in_range = _reproject_prev_pixel(state["cam"], h["p"], width, height)
+    prev = {k: jnp.take(v, ridx, axis=0) for k, v in state["reservoir"].items()}
+    prev_norm = jnp.take(state["normal"], ridx, axis=0)
+    prev_depth = jnp.take(state["depth"], ridx)
+    prev_valid = jnp.take(state["valid"], ridx)
+    prev_mtl_t = jnp.take(state["mtl"], ridx)
+    prev_mesh = jnp.take(state["mesh"], ridx)
+    ndot = jnp.sum(h["ns"] * prev_norm, axis=-1)
+    depth_ok = jnp.abs(prev_depth - hit["t"]) < 0.1 * jnp.maximum(hit["t"], 1e-3)
+    accept = (
+        prev_valid & in_range & shadeable
+        & (ndot >= 0.95)
+        & (prev_mtl_t == mat["type"])
+        & (prev_mesh == h["mesh"])
+        & depth_ok
+    )
     _, target_prev_here, _, _ = _eval_candidate(mat, h["p"], h["ns"], wo, prev)
     ut, st = smp.next_1d(st)
     merged = _merge_reservoir(r, prev, target_prev_here, ut, m_cap=TEMPORAL_M_CAP * 1.0)
@@ -284,6 +327,9 @@ def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
         "normal": h["ns"],
         "depth": hit["t"],
         "valid": shadeable,
+        "mtl": mat["type"],
+        "mesh": h["mesh"],
+        "cam": {k: cam_arrays[k] for k in ("origin", "right", "up", "forward")},
     }
     return color.reshape(height, width, 3), new_state
 

@@ -107,6 +107,8 @@ class SceneBuilder:
         self._sph_light = []
         self._face_obj = []  # per-face object id (-1 = world)
         self._sph_obj = []
+        self._face_mesh = []  # per-face mesh id (one per add_mesh call)
+        self._mesh_counter = 0
         self._num_objects = 0
         self._instances = []  # (obj_id, l2w 4x4)
         self._envmap = None
@@ -181,10 +183,13 @@ class SceneBuilder:
         mtl = np.broadcast_to(np.asarray(mtl_id, np.int64), (len(faces),))
         tri_start = len(self._faces)
         oid = -1 if obj is None else int(obj)
+        mesh_id = self._mesh_counter  # TriangleGroupMesh mesh_id role
+        self._mesh_counter += 1
         for f, m in zip(faces, mtl):
             self._faces.append((base + int(f[0]), base + int(f[1]), base + int(f[2]), int(m)))
             self._tri_light.append(-1)
             self._face_obj.append(oid)
+            self._face_mesh.append(mesh_id)
         return tri_start, len(faces)
 
     def add_quad(self, p0, p1, p2, p3, mtl_id: int, obj=None):
@@ -270,6 +275,7 @@ class SceneBuilder:
             tuv0, tuv1, tuv2 = vuv[i0], vuv[i1], vuv[i2]
             tmtl = faces[:, 3].astype(np.int32)
             tlight = np.asarray(self._tri_light, np.int32)
+            tmesh = np.asarray(self._face_mesh, np.int32)
             tarea = 0.5 * np.linalg.norm(np.cross(te1, te2), axis=1)
         else:  # dummy row so gathers stay shaped
             tv0 = np.zeros((1, 3), np.float32)
@@ -279,6 +285,7 @@ class SceneBuilder:
             tuv0 = tuv1 = tuv2 = np.zeros((1, 2), np.float32)
             tmtl = np.zeros(1, np.int32)
             tlight = np.full(1, -1, np.int32)
+            tmesh = np.full(1, -1, np.int32)
             tarea = np.zeros(1, np.float32)
 
         if num_sph > 0:
@@ -380,6 +387,7 @@ class SceneBuilder:
             "tri_uv2": jnp.asarray(tuv2),
             "tri_mtl": jnp.asarray(tmtl),
             "tri_light": jnp.asarray(tlight),
+            "tri_mesh": jnp.asarray(tmesh),
             "tri_area": jnp.asarray(tarea.astype(np.float32)),
             "sph_center": jnp.asarray(sc),
             "sph_radius": jnp.asarray(sr),

@@ -79,3 +79,59 @@ def test_restir_converges_toward_reference(setup):
     m = ref.mean(axis=-1) > 1e-3
     rel = abs(est[m].mean() - ref[m].mean()) / ref[m].mean()
     assert rel < 0.2, (est[m].mean(), ref[m].mean())
+
+def test_reproject_prev_pixel_roundtrip():
+    """A point along pixel (x,y)'s ray reprojects to pixel (x,y) under
+    the same camera (the motion-reprojection primitive of temporal
+    reuse, replacing the reference's rasterized motion-depth buffer)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aten_tpu.core import camera as cam_mod
+    from aten_tpu.core.camera import PinholeCamera
+    from aten_tpu.integrator.restir import _reproject_prev_pixel
+
+    W = H = 32
+    cam = PinholeCamera(origin=(1.0, 2.0, 5.0), lookat=(0.0, 0.5, 0.0),
+                        vfov_deg=45, width=W, height=H)
+    ca = cam.arrays()
+    pix = jnp.arange(W * H, dtype=jnp.uint32)
+    px = (pix % W).astype(jnp.float32)
+    py = (pix // W).astype(jnp.float32)
+    s = (px + 0.5) / W
+    t = (jnp.float32(H - 1) - py + 0.5) / H
+    ro, rd = cam_mod.generate_ray(ca, s, t)
+    p = ro + 3.7 * rd  # arbitrary depth along each pixel ray
+    prev_cam = {k: ca[k] for k in ("origin", "right", "up", "forward")}
+    idx, ok = _reproject_prev_pixel(prev_cam, p, W, H)
+    assert bool(np.asarray(ok).all())
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(pix))
+
+
+def test_temporal_acceptance_rejects_mismatched_history():
+    """History from a different surface (mesh/material) must NOT merge:
+    run two frames, then corrupt the stored mesh ids and verify the
+    third frame's reservoirs ignore the history (M resets to the
+    initial-candidate count), matching IsAcceptableNeighbor
+    (restir_impl.h:275-310)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aten_tpu.integrator import restir
+    from aten_tpu.scene.scenedefs import many_light_scene
+
+    W = H = 32
+    scene, cam = many_light_scene(W, H, num_lights=8)
+    ca = cam.arrays()
+    st = restir.init_state(H, W)
+    _, st = restir.restir_direct_sample(scene, ca, W, H, jnp.uint32(0), st)
+    _, st2 = restir.restir_direct_sample(scene, ca, W, H, jnp.uint32(1), st)
+    m_with = np.asarray(st2["reservoir"]["m"])
+
+    bad = dict(st, mesh=jnp.full_like(st["mesh"], 999999))
+    _, st3 = restir.restir_direct_sample(scene, ca, W, H, jnp.uint32(1), bad)
+    m_without = np.asarray(st3["reservoir"]["m"])
+    sh = np.asarray(st2["valid"])
+    # accepted history accumulates M well beyond the no-history run
+    # (spatial reuse still merges neighbors in both, so compare means)
+    assert m_with[sh].mean() > 1.5 * m_without[sh].mean()
