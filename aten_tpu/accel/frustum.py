@@ -81,8 +81,11 @@ def visible_prims(scene_np, planes, prim_bmin=None, prim_bmax=None):
     containing leaves.  scene_np: dict with nodes_bmin/bmax,
     nodes_prim_start/count, prim_order (build.py layout).  When the
     per-prim AABBs are provided, prims of surviving leaves are refined
-    against the frustum individually (exact per-prim verdict); otherwise
-    the answer is leaf-conservative.  Returns
+    against the frustum individually (per-prim AABB-CONSERVATIVE: a
+    triangle whose box touches the frustum may itself miss it, and the
+    plane test admits boxes near plane corners — callers get a superset
+    of the truly visible prims, never a subset); otherwise the answer
+    is leaf-conservative.  Returns
     (prim_mask_over_ids, leaf_mask_over_nodes)."""
     node_in = intersect_frustum_nodes(
         planes, scene_np["nodes_bmin"], scene_np["nodes_bmax"]

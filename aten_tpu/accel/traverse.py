@@ -158,8 +158,11 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
         )
     num_prims = scene["num_tris"] + scene["num_spheres"]
     # Voxel LOD (accel/voxel.py) lives in the reference traverser below:
-    # skip the dense and Pallas fast paths when it is enabled.
-    has_lod = bool(scene.get("has_voxel_lod")) and not any_hit
+    # skip the dense and Pallas fast paths when it is enabled.  Voxels
+    # fire for ANY-hit rays too (the reference traverser handles voxels
+    # for IntersectType::Any as well, threaded_bvh_traverser.h:221-277),
+    # so shadow rays see the same voxelized world as camera rays.
+    has_lod = bool(scene.get("has_voxel_lod"))
     if not has_lod and (
         impl == "dense" or (impl == "auto" and num_prims <= DENSE_MAX_PRIMS)
     ):
@@ -343,9 +346,10 @@ def occlusion_alpha(scene, ro, rd, dist, eps=1e-3, max_hits=4, impl="auto"):
     max_hits closest hits, multiplying (1 - alpha) per surface —
     HitTestToTargetLight's bounded punch-through loop
     (pathtracing_impl.h:266-351, max_lookups 10 capped here at 4 closest
-    walks since each is a full traversal).  Material alpha only (the
-    reference also reads the albedo-map alpha; shadow rays here skip the
-    texture fetch).  Returns occlusion in [0,1]; 0 = fully visible.
+    walks since each is a full traversal).  Alpha combines the material
+    alpha with the albedo-map alpha at the hit uv, matching the
+    reference's shadow-ray texture fetch (pathtracing_impl.h:290-297).
+    Returns occlusion in [0,1]; 0 = fully visible.
     """
     from aten_tpu.scene.materials import gather_material
 
@@ -355,21 +359,25 @@ def occlusion_alpha(scene, ro, rd, dist, eps=1e-3, max_hits=4, impl="auto"):
         jnp.asarray(dist, jnp.float32), (ro.shape[0],)
     ) - eps
     active = remaining > 0
-    num_tris = scene["num_tris"]
     for _ in range(max_hits):
         res = traverse(
             scene, cur_ro, rd, t_max=remaining, any_hit=False, t_min=eps,
             impl=impl,
         )
+        from aten_tpu.integrator.pathtracer import eval_hit
+
+        h = eval_hit(scene, cur_ro, rd, res)
         hit = res["hit"] & active
-        prim = jnp.maximum(res["prim"], 0)
-        is_tri = res["prim"] < num_tris
-        mtl = jnp.where(
-            is_tri,
-            jnp.take(scene["tri_mtl"], jnp.clip(prim, 0, scene["tri_mtl"].shape[0] - 1)),
-            jnp.take(scene["sph_mtl"], jnp.clip(prim - num_tris, 0, scene["sph_mtl"].shape[0] - 1)),
-        )
-        a = gather_material(scene["materials"], mtl)["alpha"]
+        mat = gather_material(scene["materials"], h["mtl"])
+        a = mat["alpha"]
+        if "tex_stack" in scene:
+            from aten_tpu.scene.textures import sample_texture
+
+            rgba = sample_texture(
+                scene, mat["albedo_map"], h["uv"][..., 0], h["uv"][..., 1],
+                default=1.0,
+            )
+            a = a * rgba[..., 3]
         trans = jnp.where(hit, trans * (1.0 - a), trans)
         # advance past the hit; stop lanes blocked by opaque surfaces
         t_adv = jnp.where(hit, res["t"] + eps, 0.0)

@@ -78,7 +78,15 @@ def annotate_voxels(tree, prim_mtl, prim_area, voxel_depth=VOXEL_DEPTH):
     # Per-preorder-slot (leaf-range-expanded) material/area streams with a
     # prefix sum per material lets every subtree query be two gathers.
     slot_mtl = prim_mtl[order]
-    slot_area = prim_area[order]
+    # SBVH spatial splits duplicate clipped prim refs in prim_order; an
+    # unweighted vote would multiply a spanning triangle's area by its
+    # ref count and could flip a subtree's dominant material.  Weight
+    # each ref by area / global ref count: a subtree holding all k refs
+    # sums to the full area, partial subtrees get a proportional share.
+    ref_count = np.bincount(order, minlength=prim_area.shape[0]).astype(
+        np.float64
+    )
+    slot_area = prim_area[order] / np.maximum(ref_count[order], 1.0)
     # slot position of each node's first prim and one-past-last prim
     # (subtree [i, skip) covers exactly the slots of its leaves because
     # prim ranges are allocated in preorder).

@@ -177,6 +177,37 @@ def eval_hit(scene, ro, rd, hit):
     return out
 
 
+def _resolve_stencil(scene, ro, rd, max_lookups=4, eps=1e-3):
+    """Bounce-0 stencil punch-through (CheckStencil,
+    pathtracing_impl.h:612-678): where the primary hit is a STENCIL
+    material, walk forward through surfaces looking for an ALWAYS
+    (front-facing) surface; if found, restart the primary ray just
+    before it so the main trace sees THAT hit.  NONE hits or exhausted
+    lookups leave the original ray (the stencil surface shades
+    normally, matching the reference's `return false`)."""
+    hit0 = traverse(scene, ro, rd)
+    h0 = eval_hit(scene, ro, rd, hit0)
+    m0 = gather_material(scene["materials"], h0["mtl"])
+    pending = hit0["hit"] & (m0["stencil"] == 1.0)
+
+    cur = h0["p"] + rd * eps
+    ro_out = ro
+    done = ~pending
+    for _ in range(max_lookups):
+        res = traverse(scene, cur, rd, t_min=eps)
+        h = eval_hit(scene, cur, rd, res)
+        m = gather_material(scene["materials"], h["mtl"])
+        front = vm.dot(h["ns"], -rd, keepdims=False) > 0.0
+        take = ~done & res["hit"] & (m["stencil"] == 2.0) & front
+        ro_out = jnp.where(take[..., None], h["p"] - rd * eps, ro_out)
+        stop = take | ~res["hit"] | (m["stencil"] == 0.0) | (
+            (m["stencil"] == 2.0) & ~front
+        )
+        done = done | stop
+        cur = jnp.where(res["hit"][..., None], h["p"] + rd * eps, cur)
+    return ro_out
+
+
 def _trace_paths(
     scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
     y0=0, tile_h=None, want_aovs=False, spp_chunk=1, cam_type="pinhole",
@@ -234,6 +265,8 @@ def _trace_paths(
     # vma-seeded carries (see traverse.py note): inherit sharding tag from rd.
     vz = rd[..., 0] * 0.0
     ro = ro + vz[..., None]  # camera origin broadcast is unvarying otherwise
+    if scene.get("has_stencil"):
+        ro = _resolve_stencil(scene, ro, rd)
     radiance = jnp.zeros((N, 3), jnp.float32) + vz[..., None]
     throughput = jnp.ones((N, 3), jnp.float32) + vz[..., None]
     alive = vz == 0.0

@@ -31,6 +31,7 @@ from aten_tpu.integrator.pathtracer import eval_hit
 from aten_tpu.scene.lights import sample_light
 from aten_tpu.scene.materials import MaterialType, gather_material
 from aten_tpu.shading import brdf as brdf_mod
+from aten_tpu.shading import nee
 
 M_CANDIDATES = 32  # initial light candidates (reference M)
 SPATIAL_NEIGHBORS = 4
@@ -243,7 +244,13 @@ def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
 
     # ---- visibility of the winner (EvaluateVisibility, restir_impl.h:219)
     _, _, wi_win, dist_win = _eval_candidate(mat, h["p"], h["ns"], wo, r)
-    blocked = occluded(scene, h["p"] + n_or * 1e-3, wi_win, dist_win)
+    ro_sh = h["p"] + n_or * 1e-3
+    # keep the shadow ray off the emitter's own surface (nee.shadow_distance)
+    cos_lw = vm.dot(r["l_nml"], -wi_win, keepdims=False)
+    dist_win2 = jnp.where(
+        r["kind"] == 0, nee.shadow_distance(dist_win, cos_lw), dist_win
+    )
+    blocked = occluded(scene, ro_sh, wi_win, dist_win2)
     r = dict(r, W=jnp.where(blocked, 0.0, r["W"]))
 
     # ---- temporal reuse (ApplyTemporalReuse, restir_impl.h:275-400):
@@ -313,7 +320,12 @@ def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
 
     # ---- final shade (ComputePixelColor, restir_impl.h:583)
     contrib, target, wi_f, dist_f = _eval_candidate(mat, h["p"], h["ns"], wo, r)
-    blocked_f = occluded(scene, h["p"] + n_or * 1e-3, wi_f, dist_f)
+    ro_shf = h["p"] + n_or * 1e-3
+    cos_lf = vm.dot(r["l_nml"], -wi_f, keepdims=False)
+    dist_f2 = jnp.where(
+        r["kind"] == 0, nee.shadow_distance(dist_f, cos_lf), dist_f
+    )
+    blocked_f = occluded(scene, ro_shf, wi_f, dist_f2)
     color = contrib * jnp.where(blocked_f, 0.0, r["W"])[..., None]
     # emissive surfaces show their own radiance; misses show background
     color = jnp.where(shadeable[..., None], color, 0.0)

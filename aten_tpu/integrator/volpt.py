@@ -242,12 +242,16 @@ def _trace_volpt(
             cos_s = vm.dot(n_or, ls2["dir"], keepdims=False)
             f2 = brdf_mod.eval_bsdf(mat, h["ns"], wo, ls2["dir"])
             pdf_b2 = brdf_mod.eval_pdf(mat, h["ns"], wo, ls2["dir"])
+            cos_l2 = jnp.maximum(vm.dot(ls2["nml"], -ls2["dir"], keepdims=False), 0.0)
+            dist_sh2 = jnp.where(
+                ls2["area_measure"],
+                nee.shadow_distance(ls2["dist"], cos_l2), ls2["dist"] * 0.999,
+            )
             tr2 = _shadow_transmittance(
-                scene, h["p"] + n_or * 1e-3, ls2["dir"], ls2["dist"] * 0.999,
+                scene, h["p"] + n_or * 1e-3, ls2["dir"], dist_sh2,
                 mstack, msize, med_seed + jnp.uint32(7),
             )
             dist2b = jnp.maximum(ls2["dist"] * ls2["dist"], 1e-8)
-            cos_l2 = jnp.maximum(vm.dot(ls2["nml"], -ls2["dir"], keepdims=False), 0.0)
             pdf_sel = jnp.float32(1.0 / num_lights)
             pdf_b_area = pdf_b2 * cos_l2 / dist2b
             w_area = nee.mis_balance(ls2["pdf"] * pdf_sel, pdf_b_area)

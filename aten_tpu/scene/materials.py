@@ -40,6 +40,10 @@ TRANSMISSIVE_TYPES = (MaterialType.REFRACTION, MaterialType.MICROFACET_REFRACTIO
 
 _SCALAR_FIELDS = dict(
     alpha=1.0,  # opacity; <1 enables translucent-by-alpha punch-through
+    # stencil punch-through (CheckStencil, pathtracing_impl.h:612-678):
+    # 0 = NONE, 1 = STENCIL (primary rays punch through toward the first
+    # ALWAYS surface), 2 = ALWAYS (visible through stencils)
+    stencil=0.0,
     roughness=0.25,
     ior=1.5,
     shininess=1.0,

@@ -436,6 +436,9 @@ class SceneBuilder:
             # any alpha<1 material switches shadow rays to the
             # transmittance walk and enables primary punch-through
             "has_alpha": any(r["alpha"] < 1.0 for r in self.materials.rows),
+            # any stencil-tagged material enables the bounce-0 stencil
+            # punch-through pre-pass (CheckStencil role)
+            "has_stencil": any(r["stencil"] != 0.0 for r in self.materials.rows),
             # static used-material-type set: jit prunes absent BRDF
             # families from the shading dispatch (shading/brdf._need)
             "used_mtl_types": tuple(sorted(

@@ -91,9 +91,31 @@ def nee_contribution(scene, mat, p, ns, wo, state, occluded_fn, used=None):
     # punch-through transmittance, occlusion_alpha).
     facing = (cos_s > 0.0) & (ls["singular"] | ls["infinite"] | (cos_l > 0.0))
     ng_eps = brdf_mod.orient_normal(ns, wo) * 1e-3
-    occ = occluded_fn(p + ng_eps, wi, ls["dist"]).astype(jnp.float32)
+    ro_sh = p + ng_eps
+    dist_sh = jnp.where(
+        ls["infinite"] | ls["singular"],
+        ls["dist"],
+        shadow_distance(ls["dist"], cos_l),
+    )
+    occ = occluded_fn(ro_sh, wi, dist_sh).astype(jnp.float32)
     vis = jnp.where(facing, 1.0 - occ, 0.0)
     return contrib * vis[..., None], state
+
+
+def shadow_distance(dist, cos_l, eps=1e-3):
+    """Shadow-ray length that never re-hits the target light itself.
+
+    The 1e-3 normal offset at the shading point shifts the shadow ray
+    PARALLEL to the sampled direction, so it crosses the emitter's
+    plane up to eps/cos_l EARLIER than `dist` — a fixed dist-eps bound
+    then reports the light's own surface as an occluder and kills NEE
+    at grazing emission angles (the reference instead accepts hits on
+    the target light, HitShadowRay pathtracing_impl.h:353-393, and uses
+    an ulp-scale origin offset).  Shortening by eps/cos_l (clamped) can
+    at worst skip occluders hugging the emitter surface.
+    """
+    return dist - eps / jnp.clip(jnp.abs(cos_l), 0.02, 1.0)
+
 
 
 def implicit_light_weight(scene, hit_light_id, pdf_prev, prev_singular, t_dist, cos_l):

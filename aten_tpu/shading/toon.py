@@ -154,7 +154,15 @@ def toon_term(scene, mat, p, ns, rd, state, occluded_fn, stylized=None):
     radiance = f * ls["le"] * (mis_w * g / lpdf)[..., None]
 
     # shadow test toward the target light (will_receive_shadow)
-    occ = occluded_fn(p + n * 1e-3, wi, ls["dist"]).astype(jnp.float32)
+    ro_sh = p + n * 1e-3
+    from aten_tpu.shading.nee import shadow_distance
+
+    dist_sh = jnp.where(
+        ls["infinite"] | ls["singular"],
+        ls["dist"],
+        shadow_distance(ls["dist"], cos_l),
+    )
+    occ = occluded_fn(ro_sh, wi, dist_sh).astype(jnp.float32)
     vis = jnp.where(mat["toon_receive_shadow"] > 0, 1.0 - occ, 1.0)
     lit = has_light & (cos_s >= 0.0) & (cos_l >= 0.0)
     radiance = jnp.where(

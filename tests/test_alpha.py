@@ -82,3 +82,50 @@ def test_opaque_scene_stream_unchanged():
     img = render_sample(sc, cam.arrays(), 16, 16, jnp.uint32(0),
                         jnp.uint32(0), 1, 3, 2)
     assert bool(jnp.isfinite(img).all())
+
+
+def test_stencil_punch_through():
+    """CheckStencil (pathtracing_impl.h:612-678): primary rays hitting a
+    STENCIL surface punch through to the first ALWAYS surface; where no
+    ALWAYS surface lies behind, the stencil surface shades normally."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aten_tpu.core.camera import PinholeCamera
+    from aten_tpu.integrator.pathtracer import render_image
+    from aten_tpu.scene.materials import MaterialType
+    from aten_tpu.scene.scene import SceneBuilder
+
+    def build(with_always):
+        b = SceneBuilder()
+        sten = b.add_material(MaterialType.DIFFUSE, base_color=(0.9, 0.1, 0.1),
+                              stencil=1.0)
+        red_wall = b.add_material(MaterialType.DIFFUSE,
+                                  base_color=(0.2, 0.2, 0.9))
+        b.add_quad((-0.5, -0.5, 1.0), (0.5, -0.5, 1.0),
+                   (0.5, 0.5, 1.0), (-0.5, 0.5, 1.0), sten)
+        if with_always:
+            alw = b.add_material(MaterialType.DIFFUSE,
+                                 base_color=(0.1, 0.9, 0.1), stencil=2.0)
+            b.add_quad((-2, -2, 0.0), (2, -2, 0.0), (2, 2, 0.0),
+                       (-2, 2, 0.0), alw)
+        else:
+            b.add_quad((-2, -2, 0.0), (2, -2, 0.0), (2, 2, 0.0),
+                       (-2, 2, 0.0), red_wall)
+        emit = b.add_material(MaterialType.EMISSIVE, base_color=(6, 6, 6))
+        # off-axis light so the wall center is NOT shadowed by the quad
+        ls, lc = b.add_quad((2.0, 2.0, 2.0), (2.0, 3.0, 2.0),
+                            (3.0, 3.0, 2.0), (3.0, 2.0, 2.0), emit)
+        b.add_area_light_tris(ls, lc, le=(6, 6, 6))
+        return b.build()
+
+    cam = PinholeCamera(origin=(0, 0, 2.5), lookat=(0, 0, 0), vfov_deg=45,
+                        width=24, height=24)
+    img_a = np.asarray(render_image(build(True), cam, spp=8, max_depth=2))
+    img_n = np.asarray(render_image(build(False), cam, spp=8, max_depth=2))
+    c_a = img_a[12, 12]
+    c_n = img_n[12, 12]
+    # through the stencil: ALWAYS surface (green) dominates
+    assert c_a[1] > c_a[0], c_a
+    # no ALWAYS behind: the stencil quad itself shades (red dominates)
+    assert c_n[0] > c_n[2], c_n
