@@ -185,6 +185,29 @@ def bench_pt(results):
                              f"{sec*1e3:.0f} ms/frame, path={traversal_path(scene)}"))
 
 
+def bench_crytek_class(results):
+    from aten_tpu.integrator.pathtracer import render_sample
+    from aten_tpu.scene.scenedefs import crytek_class_scene
+
+    W = H = 512
+    scene, cam = crytek_class_scene(W, H)
+    ca = cam.arrays()
+
+    @jax.jit
+    def frame_scalar(i):
+        img = render_sample(scene, ca, W, H, jnp.uint32(1), jnp.uint32(0),
+                            4, 5, 3, spp_chunk=4)
+        return img.reshape(-1)[0]
+
+    sec = time_seq(frame_scalar, n=2)
+    rays = W * H * 4
+    results.append(emit(
+        "crytek_class_mrays", rays / sec / 1e6, "Mrays/s",
+        note=f"512x512x4spp, {scene['num_tris']} tris (crytek-scale; the "
+             f"reference checkout ships no crytek obj), {sec*1e3:.0f} "
+             f"ms/frame, path={traversal_path(scene)}"))
+
+
 def bench_sponza_svgf(results):
     from aten_tpu.integrator.pathtracer import render_sample_with_aovs
     from aten_tpu.denoise import svgf
@@ -287,8 +310,8 @@ def bench_fwd_bwd(results):
 
 def main():
     results = []
-    for fn in (bench_traversal, bench_pt, bench_sponza_svgf, bench_restir,
-               bench_volume, bench_fwd_bwd):
+    for fn in (bench_traversal, bench_pt, bench_crytek_class,
+               bench_sponza_svgf, bench_restir, bench_volume, bench_fwd_bwd):
         try:
             fn(results)
         except Exception as e:  # keep the suite alive; report the failure
