@@ -331,6 +331,57 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
             "steps": steps}
 
 
+def _morton10(x):
+    """Interleave the low 10 bits of x with two zero bits (uint32)."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x30000FF
+    x = (x | (x << 8)) & 0x300F00F
+    x = (x | (x << 4)) & 0x30C30C3
+    x = (x | (x << 2)) & 0x9249249
+    return x
+
+
+def traverse_sorted(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4,
+                    impl="auto"):
+    """Closest/any-hit traversal with rays SORTED by (direction octant,
+    origin morton code) first — the TPU answer to the reference's
+    wavefront ray regeneration: bounce rays scattered by BRDF sampling
+    land in incoherent kernel tiles, inflating every tile's traversal
+    vote; sorting regroups them so tiles stay tight.  Pure permutation:
+    results are scattered back to lane order, bitwise identical."""
+    import jax.numpy as jnp
+
+    if "trl_nodes" not in scene and "pl_nodes" not in scene:
+        return traverse(scene, ro, rd, t_max=t_max, any_hit=any_hit,
+                        t_min=t_min, impl=impl)
+    root_lo = scene["nodes_bmin"][0]
+    root_hi = scene["nodes_bmax"][0]
+    q = jnp.clip(
+        (ro - root_lo) / jnp.maximum(root_hi - root_lo, 1e-6), 0.0, 1.0
+    )
+    qi = (q * 1023.0).astype(jnp.uint32)
+    morton = (
+        _morton10(qi[:, 0]) | (_morton10(qi[:, 1]) << 1)
+        | (_morton10(qi[:, 2]) << 2)
+    )
+    octant = (
+        (rd[:, 0] >= 0).astype(jnp.uint32)
+        | ((rd[:, 1] >= 0).astype(jnp.uint32) << 1)
+        | ((rd[:, 2] >= 0).astype(jnp.uint32) << 2)
+    )
+    # octant-major, origin-locality minor
+    key = (octant << 29) | (morton >> 1)
+    perm = jnp.argsort(key)
+    t_max_p = None
+    if t_max is not None:
+        t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ro.shape[0],))
+        t_max_p = t_max_b[perm]
+    res = traverse(scene, ro[perm], rd[perm], t_max=t_max_p,
+                   any_hit=any_hit, t_min=t_min, impl=impl)
+    inv = jnp.argsort(perm)
+    return {k: v[inv] for k, v in res.items()}
+
+
 def occluded(scene, ro, rd, dist, eps=1e-3, impl="auto"):
     """Shadow-ray visibility: True where something blocks [eps, dist-eps].
 

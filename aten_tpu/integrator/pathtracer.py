@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from aten_tpu.accel.traverse import occluded, traverse
+from aten_tpu.accel.traverse import occluded, traverse, traverse_sorted
 from aten_tpu.core import camera as cam_mod
 from aten_tpu.core import sampler as smp
 from aten_tpu.core import vecmath as vm
@@ -294,7 +294,10 @@ def _trace_paths(
 
     def bounce_body(carry, bounce):
         ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, aovs = carry
-        hit = traverse(scene, ro, rd)
+        # sorted traversal: bounce rays are BRDF-scattered and tile-
+        # incoherent; regrouping by (octant, origin morton) keeps the
+        # Pallas tile votes tight (no-op permutation semantically)
+        hit = traverse_sorted(scene, ro, rd)
         h = eval_hit(scene, ro, rd, hit)
         mat = gather_material(scene["materials"], h["mtl"])
         # shade-time texture fetches (sampleTexture role)
