@@ -27,6 +27,8 @@ SCENES = {
     "volume": "homogeneous_volume_scene",
     "volume_grid": "hetero_volume_scene",
     "many_light": "many_light_scene",
+    "crytek": "crytek_class_scene",
+    "toon": "toon_scene",
 }
 
 
@@ -60,6 +62,9 @@ def build_parser():
     p.add_argument("--focus-dist", type=float, default=0.0,
                    help="0 = focus at the lookat point")
     p.add_argument("--vfov", type=float, default=45.0)
+    p.add_argument("--sampler", choices=["cmj", "bluenoise"], default="cmj",
+                   help="bluenoise uses void-and-cluster masks for the "
+                        "pixel jitter + BSDF dims (bluenoiseSampler role)")
     p.add_argument("--stats", action="store_true",
                    help="print Mrays/s + ms/frame (the reference's live "
                         "ImGui meter, device_renderer/main.cpp:250)")
@@ -151,7 +156,8 @@ def main(argv=None):
                 render_sample(scene, ca, W, H, jnp.uint32(frame),
                               jnp.uint32(film.count), args.spp,
                               args.max_depth, args.rr_depth,
-                              cam_type=camera_type_of(cam))
+                              cam_type=camera_type_of(cam),
+                              sampler=args.sampler)
             )
         img = film.image()
     elif args.integrator == "svgf":

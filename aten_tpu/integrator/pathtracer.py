@@ -208,9 +208,22 @@ def _resolve_stencil(scene, ro, rd, max_lookups=4, eps=1e-3):
     return ro_out
 
 
+_BLUENOISE = None
+
+
+def _get_bluenoise():
+    global _BLUENOISE
+    if _BLUENOISE is None:
+        from aten_tpu.core.bluenoise import BlueNoiseSampler
+
+        _BLUENOISE = BlueNoiseSampler()
+    return _BLUENOISE
+
+
 def _trace_paths(
     scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
     y0=0, tile_h=None, want_aovs=False, spp_chunk=1, cam_type="pinhole",
+    sampler="cmj",
 ):
     """Path-traced radiance [tile_h*width, 3], averaged over spp_chunk
     TRUE samples per pixel traced in ONE dispatch.
@@ -250,6 +263,15 @@ def _trace_paths(
 
     state = smp.make_state(pixel_seed, frame, samp_idx, spp, bounce=0)
     ju, jv, state = smp.next_2d(state)
+    if sampler == "bluenoise":
+        # blue-noise pixel jitter (the reference registers 256x256xN
+        # noise masks with the PT sampler, libidaten/kernel/
+        # pathtracing.h:23); deeper dims fall back to CMJ like the
+        # reference falls back past its registered layer count
+        bn = _get_bluenoise()
+        fkey = frame * jnp.uint32(64) + samp_idx
+        ju = bn.sample(px, py, fkey, jnp.uint32(0))
+        jv = bn.sample(px, py, fkey, jnp.uint32(1))
     s = (px + ju) / width
     t = (jnp.float32(height - 1) - py + jv) / height
     # camera dispatch (the reference's per-app camera choice; ThinLens
@@ -431,6 +453,13 @@ def _trace_paths(
         # ---- BSDF sample + next ray (PrepareForNextBounce)
         u1, u2, state = smp.next_2d(state)
         u3, state = smp.next_1d(state)
+        if sampler == "bluenoise":
+            bn = _get_bluenoise()
+            fkey = frame * jnp.uint32(64) + samp_idx
+            base = jnp.uint32(2) + bounce.astype(jnp.uint32) * jnp.uint32(3)
+            u1 = bn.sample(px, py, fkey, base)
+            u2 = bn.sample(px, py, fkey, base + jnp.uint32(1))
+            u3 = bn.sample(px, py, fkey, base + jnp.uint32(2))
         samp = brdf_mod.sample_brdf(
             mat, h["ns"], wo, u1, u2, u3, used=scene.get("used_mtl_types")
         )
@@ -493,16 +522,16 @@ def _trace_paths(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "rr_depth",
-                     "spp_chunk", "cam_type"),
+                     "spp_chunk", "cam_type", "sampler"),
 )
 def render_sample(
     scene, cam_arrays, width, height, frame, sample, spp=1, max_depth=5, rr_depth=3,
-    spp_chunk=1, cam_type="pinhole",
+    spp_chunk=1, cam_type="pinhole", sampler="cmj",
 ):
     """Mean radiance of samples [sample, sample+spp_chunk) in ONE dispatch."""
     rad = _trace_paths(
         scene, cam_arrays, width, height, frame, sample, spp, max_depth, rr_depth,
-        spp_chunk=spp_chunk, cam_type=cam_type,
+        spp_chunk=spp_chunk, cam_type=cam_type, sampler=sampler,
     )
     return rad.reshape(height, width, 3)
 
