@@ -60,7 +60,20 @@ def init_state(height, width):
         "w2v": jnp.eye(4, dtype=jnp.float32),
         "v2c": jnp.eye(4, dtype=jnp.float32),
         "valid": jnp.zeros((height, width), bool),
+        # dynamic-object motion (optional): previous frame's instance
+        # L2W + the current frame's W2L
+        "prev_l2w": None,
+        "cur_w2l": None,
     }
+
+
+def inst_l2w_from_w2l(inst_w2l):
+    """Invert the scene's [I,3,4] W2L rows to L2W (R' = R^-1, t' = -R't)."""
+    R = inst_w2l[..., :3]
+    t = inst_w2l[..., 3]
+    Rinv = jnp.linalg.inv(R)
+    tinv = -jnp.einsum("iab,ib->ia", Rinv, t)
+    return jnp.concatenate([Rinv, tinv[..., None]], axis=-1)
 
 
 def _project(pos, w2v, v2c, width, height):
@@ -90,13 +103,37 @@ def _gather_prev(state, iy, ix):
     }
 
 
+def object_motion_pos(pos, inst, cur_w2l, prev_l2w):
+    """Previous-frame world position of each pixel's surface point for
+    DYNAMIC instances: prev_pos = prev_L2W[inst] . (cur_W2L[inst] . pos).
+    Static pixels (inst < 0) pass through.  This supplies the object
+    term of the reference's rasterized motion-depth buffer
+    (host_renderer/main.cpp:150-163) analytically from the instance
+    transforms of the two frames."""
+    I = cur_w2l.shape[0]
+    iid = jnp.clip(jnp.where(inst >= 0, inst, I - 1), 0, I - 1)
+    w2l = cur_w2l[iid]           # [H,W,3,4]
+    l2w = prev_l2w[iid]
+    local = jnp.einsum("hwij,hwj->hwi", w2l[..., :3], pos) + w2l[..., 3]
+    prev = jnp.einsum("hwij,hwj->hwi", l2w[..., :3], local) + l2w[..., 3]
+    return jnp.where((inst >= 0)[..., None], prev, pos)
+
+
 def temporal_reproject(img, aovs, state, params: SVGFParams, width, height):
     """TemporalReprojection (svgf_impl.h:286): reproject through the PREV
-    camera, accept on normal/mtl/depth consistency, accumulate moments."""
+    camera, accept on normal/mtl/depth consistency, accumulate moments.
+    When the state carries prev-frame instance transforms (dynamic
+    scenes), positions on moving objects are first pulled back through
+    the object motion before the camera reprojection."""
     lum = luminance(img)[..., 0]
     mom_cur = jnp.stack([lum, lum * lum], axis=-1)
 
-    x, y, infront = _project(aovs["pos"], state["w2v"], state["v2c"], width, height)
+    pos = aovs["pos"]
+    if state.get("prev_l2w") is not None and "inst" in aovs:
+        pos = object_motion_pos(
+            pos, aovs["inst"], state["cur_w2l"], state["prev_l2w"]
+        )
+    x, y, infront = _project(pos, state["w2v"], state["v2c"], width, height)
     ix = jnp.round(x - 0.5).astype(jnp.int32)
     iy = jnp.round(y - 0.5).astype(jnp.int32)
     inside = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height) & infront
@@ -221,21 +258,30 @@ class SVGFDenoiser:
         self.params = params or SVGFParams()
         self.state = init_state(height, width)
 
-    def step(self, img, aovs, cam):
+    def step(self, img, aovs, cam, scene=None):
         """img [H,W,3] noisy radiance; aovs from render_sample_with_aovs;
-        cam the CURRENT camera (its matrices become next frame's prev)."""
+        cam the CURRENT camera (its matrices become next frame's prev).
+        Pass the CURRENT scene for instanced dynamic scenes: its
+        instance transforms feed object motion vectors (the rasterized
+        motion-depth buffer role)."""
         out, self.state = svgf_step(
-            img, aovs, self.state, self.params, cam, self.width, self.height
+            img, aovs, self.state, self.params, cam, self.width, self.height,
+            scene=scene,
         )
         return out
 
 
-def svgf_step(img, aovs, state, params, cam, width, height):
+def svgf_step(img, aovs, state, params, cam, width, height, scene=None):
     w2v, v2c = camera_matrices(cam)
+    cur_w2l = scene["inst_w2l"] if scene is not None and "inst_w2l" in scene         else None
+    state = dict(state, cur_w2l=cur_w2l)
     out, new_state = _svgf_step_jit(
         img, aovs, state, params=params, width=width, height=height
     )
-    new_state = dict(new_state, w2v=w2v, v2c=v2c)
+    # this frame's instance L2W becomes next frame's motion source
+    prev_l2w = inst_l2w_from_w2l(cur_w2l) if cur_w2l is not None else None
+    new_state = dict(new_state, w2v=w2v, v2c=v2c, prev_l2w=prev_l2w,
+                     cur_w2l=None)
     return out, new_state
 
 

@@ -312,6 +312,10 @@ def _trace_paths(
         "pos": jnp.zeros((N, 3), jnp.float32) + vz[..., None],
         "prim": jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
         "mtl": jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
+        # first-hit instance id (-1 static): feeds object motion
+        # vectors in SVGF (the reference rasterizes a motion-depth
+        # buffer per frame, host_renderer/main.cpp:150-163)
+        "inst": jnp.full((N,), -1, jnp.int32) + vz.astype(jnp.int32),
     }
 
     def bounce_body(carry, bounce):
@@ -345,6 +349,9 @@ def _trace_paths(
             # albedo/ids/world pos captured at bounce 0 on hit lanes.
             first = (bounce == 0) & hit["hit"]
             f3 = first[..., None]
+            inst_cur = hit.get("inst")
+            if inst_cur is None:
+                inst_cur = jnp.full((N,), -1, jnp.int32)
             aovs = {
                 "normal": jnp.where(f3, h["ns"], aovs["normal"]),
                 "depth": jnp.where(first, hit["t"], aovs["depth"]),
@@ -352,6 +359,7 @@ def _trace_paths(
                 "pos": jnp.where(f3, h["p"], aovs["pos"]),
                 "prim": jnp.where(first, hit["prim"], aovs["prim"]),
                 "mtl": jnp.where(first, h["mtl"], aovs["mtl"]),
+                "inst": jnp.where(first, inst_cur, aovs["inst"]),
             }
 
         # ---- miss: environment/background (ShadeMiss, incl. IBL MIS)
