@@ -173,7 +173,8 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
         else:
             t0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ro.shape[0],))
         return _traverse_dense(scene, ro, rd, t0, any_hit, t_min)
-    use_pallas = not has_lod and (
+    lod_kernel_ok = not has_lod or bool(scene.get("trl_has_lod"))
+    use_pallas = lod_kernel_ok and (
         impl == "pallas"
         or (
             impl == "auto"

@@ -136,7 +136,7 @@ def enable_voxel_lod(scene, lod_depth=VOXEL_DEPTH, voxel_depth=VOXEL_DEPTH):
         k: np.asarray(scene[k])
         for k in (
             "nodes_hit", "nodes_miss", "nodes_prim_start",
-            "nodes_prim_count", "prim_order",
+            "nodes_prim_count", "prim_order", "nodes_bmin", "nodes_bmax",
         )
     }
     tri_mtl = np.asarray(scene["tri_mtl"])[:num_tris]
@@ -154,9 +154,26 @@ def enable_voxel_lod(scene, lod_depth=VOXEL_DEPTH, voxel_depth=VOXEL_DEPTH):
     arrays["lod_depth"] = jnp.asarray(lod_depth, jnp.int32)
     static = dict(scene.static)
     static["has_voxel_lod"] = True
-    # LOD hits come from the reference JAX traverser; drop any Pallas
-    # layout so impl="auto" routes there (kernels have no voxel path yet).
+    # Rebuild the Pallas layout from the LOD-BAKED tree: annotated
+    # nodes at depth >= lod_depth become zero-prim voxel leaves and
+    # their subtrees vanish (ops/traverse_pallas.bake_lod_tree), so the
+    # kernel and the traced-knob oracle agree at THIS lod_depth.
+    # Changing scene["lod_depth"] afterwards re-steers only the oracle;
+    # call enable_voxel_lod again to re-bake the kernel layout.
     for k in list(arrays):
         if k.startswith(("pl_", "trl_", "tt_")):
             arrays.pop(k)
+    from aten_tpu.ops.traverse_pallas import bake_lod_tree, build_treelet_layout
+
+    baked, voxid = bake_lod_tree(tree, vox_mtl, depth, int(lod_depth))
+    layout = build_treelet_layout(
+        baked,
+        np.asarray(scene["tri_v0"]), np.asarray(scene["tri_e1"]),
+        np.asarray(scene["tri_e2"]), np.asarray(scene["sph_center"]),
+        np.asarray(scene["sph_radius"]), num_tris,
+        voxid=voxid, vox_base=num_tris + num_sph,
+    )
+    for k, v in layout.items():
+        arrays[k] = jnp.asarray(v)
+    static["trl_has_lod"] = True
     return SceneData(arrays, static)

@@ -342,12 +342,78 @@ def _directional_links(cent, hit, miss, start):
     return links
 
 
-def treelet_cut(bvh, treelet_max=TREELET_MAX):
+def bake_lod_tree(bvh, vox_mtl, depth, lod_depth):
+    """Prune a threaded BVH at its voxel nodes (SBVH voxel LOD baked for
+    the kernel layout): annotated interior nodes with depth >= lod_depth
+    become zero-prim VOXEL LEAVES and their subtrees vanish.  Returns
+    (pruned threaded dict, voxid [K'] = original node index of each
+    voxel leaf, else -1).  The kernel records tenter hits with prim =
+    vox_base + voxid — matching the traced-knob oracle rule
+    (accel/traverse.py) exactly for the SAME lod_depth.
+    """
+    nhit = np.asarray(bvh["nodes_hit"], np.int64)
+    nmiss = np.asarray(bvh["nodes_miss"], np.int64)
+    nps = np.asarray(bvh["nodes_prim_start"], np.int64)
+    npc = np.asarray(bvh["nodes_prim_count"], np.int64)
+    is_vox = (np.asarray(vox_mtl) >= 0) & (np.asarray(depth) >= lod_depth)
+
+    keep = []
+    i = 0
+    while i != -1:
+        keep.append(i)
+        if is_vox[i] or nps[i] >= 0:
+            i = int(nmiss[i])
+        else:
+            i = i + 1
+    keep = np.asarray(keep, np.int64)
+    new_of = {int(o): n for n, o in enumerate(keep)}
+    Kt = len(keep)
+
+    def remap(old):
+        return -1 if old < 0 else new_of[int(old)]
+
+    out = {
+        "nodes_bmin": np.asarray(bvh["nodes_bmin"], np.float32)[keep],
+        "nodes_bmax": np.asarray(bvh["nodes_bmax"], np.float32)[keep],
+        "prim_order": np.asarray(bvh["prim_order"], np.int64),
+    }
+    hit = np.full(Kt, -1, np.int64)
+    miss = np.full(Kt, -1, np.int64)
+    start = np.full(Kt, -1, np.int64)
+    count = np.zeros(Kt, np.int64)
+    voxid = np.full(Kt, -1, np.int64)
+    for n, o in enumerate(keep):
+        skip = remap(nmiss[o])
+        if is_vox[o]:
+            hit[n] = skip
+            miss[n] = skip
+            voxid[n] = o  # ORIGINAL node index = the oracle's vox prim id
+        elif nps[o] >= 0:
+            hit[n] = skip
+            miss[n] = skip
+            start[n] = nps[o]
+            count[n] = npc[o]
+        else:
+            hit[n] = new_of[int(o) + 1]
+            miss[n] = skip
+    out["nodes_hit"] = hit
+    out["nodes_miss"] = miss
+    out["nodes_prim_start"] = start
+    out["nodes_prim_count"] = count
+    return out, voxid
+
+
+def treelet_cut(bvh, treelet_max=TREELET_MAX, protect=None):
     """Cut a threaded BVH at subtrees of <= treelet_max prims.
 
     Returns cut-tree arrays over kept nodes (preorder): bmin/bmax [Kt,3],
     hit/miss [Kt] (default preorder links), start/count [Kt] (fat leaves
-    carry their subtree's contiguous prim range; interior -1/0).
+    carry their subtree's contiguous prim range; interior -1/0), and
+    keep (original index per kept node).
+
+    protect [K] bool: nodes that must survive as their OWN node (voxel
+    leaves) — subtrees containing one are never collapsed into a fat
+    leaf, and the protected node itself becomes a zero-prim fat leaf.
     """
     nhit = np.asarray(bvh["nodes_hit"], np.int64)
     nmiss = np.asarray(bvh["nodes_miss"], np.int64)
@@ -358,6 +424,10 @@ def treelet_cut(bvh, treelet_max=TREELET_MAX):
 
     prefix = np.zeros(K + 1, np.int64)
     prefix[1:] = np.cumsum(np.where(nps >= 0, npc, 0))
+    if protect is None:
+        protect = np.zeros(K, bool)
+    pcum = np.zeros(K + 1, np.int64)
+    pcum[1:] = np.cumsum(protect.astype(np.int64))
 
     keep, is_fat = [], []
     i = 0
@@ -365,7 +435,10 @@ def treelet_cut(bvh, treelet_max=TREELET_MAX):
         skip = nmiss[i]
         end = P if skip < 0 else prefix[skip]
         cnt = end - prefix[i]
-        if nps[i] >= 0 or cnt <= treelet_max:
+        sub_end = K if skip < 0 else int(skip)
+        # protected descendants STRICTLY below i block collapsing
+        has_protected = (pcum[sub_end] - pcum[i + 1]) > 0
+        if protect[i] or nps[i] >= 0 or (cnt <= treelet_max and not has_protected):
             keep.append(i)
             is_fat.append(True)
             i = int(nmiss[i])
@@ -376,6 +449,15 @@ def treelet_cut(bvh, treelet_max=TREELET_MAX):
     keep = np.asarray(keep, np.int64)
     new_of = {int(o): n for n, o in enumerate(keep)}
     Kt = len(keep)
+
+    # original prim offset of the FIRST leaf at/after each node: leaf
+    # ranges are preorder-monotonic, so this is the subtree's range
+    # start in prim_order.  (For an unpruned tree it equals prefix[i];
+    # for LOD-BAKED trees pruned subtrees leave holes in prim_order, so
+    # the compacted prefix would point fat leaves at the WRONG prims.)
+    next_leaf = np.full(K + 1, -1, np.int64)
+    for i in range(K - 1, -1, -1):
+        next_leaf[i] = nps[i] if nps[i] >= 0 else next_leaf[i + 1]
 
     bmin = np.asarray(bvh["nodes_bmin"], np.float32)[keep]
     bmax = np.asarray(bvh["nodes_bmax"], np.float32)[keep]
@@ -389,13 +471,13 @@ def treelet_cut(bvh, treelet_max=TREELET_MAX):
         if fat:
             hit[n] = ms_new
             miss[n] = ms_new
-            start[n] = prefix[o]
             end = P if ms < 0 else prefix[ms]
             count[n] = end - prefix[o]
+            start[n] = next_leaf[o] if count[n] > 0 else -1
         else:
             hit[n] = new_of[int(o) + 1]
             miss[n] = ms_new
-    return bmin, bmax, hit, miss, start, count
+    return bmin, bmax, hit, miss, start, count, keep
 
 
 def _pack_prim_rows(order, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
@@ -455,26 +537,41 @@ def _pack_prims_8(order, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
 
 
 def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
-                         num_tris, treelet_max=TREELET_MAX):
+                         num_tris, treelet_max=TREELET_MAX, voxid=None,
+                         vox_base=None):
     """Cut the threaded BVH into a VMEM top tree + HBM packed prim rows.
 
     Node row lanes: 0-2 bmin, 3-5 bmax, 6..17 (hit,miss) int links for
-    the 6 direction orderings, 18 row_start, 19 prim count (ints bitcast
-    to f32).  Every fat leaf's prims start on a row boundary and the
-    kernel always DMAs a fixed TRL_ROWS-row window, so the pool carries
-    a TRL_ROWS tail pad.
+    the 6 direction orderings, 18 row_start, 19 prim count, 20 voxel
+    prim id (-1 unless the node is a baked voxel leaf; ints bitcast to
+    f32).  Every fat leaf's prims start on a row boundary and the kernel
+    always DMAs a fixed TRL_ROWS-row window, so the pool carries a
+    TRL_ROWS tail pad.
+
+    voxid: per-node original indices from bake_lod_tree (voxel leaves);
+    their rows get lane 20 = vox_base + voxid and no prim range.
     """
     order = np.asarray(bvh["prim_order"], np.int64)
-    bmin, bmax, hit, miss, start, count = treelet_cut(bvh, treelet_max)
+    protect = None if voxid is None else (np.asarray(voxid) >= 0)
+    bmin, bmax, hit, miss, start, count, keep = treelet_cut(
+        bvh, treelet_max, protect=protect
+    )
     Kt = hit.shape[0]
     links = _directional_links((bmin + bmax) * 0.5, hit, miss, start)
+
+    vox_cut = np.full(Kt, -1, np.int64)
+    if voxid is not None:
+        vox_cut = np.asarray(voxid)[keep]
+        # voxel leaves carry no prim range
+        start = np.where(vox_cut >= 0, -1, start)
+        count = np.where(vox_cut >= 0, 0, count)
 
     # row-align each treelet's prim range
     P = order.shape[0]
     row_start = np.full(Kt, -1, np.int64)
     row_of_prim = np.zeros(P, np.int64)
     nrows = 0
-    for n in np.nonzero(start >= 0)[0]:
+    for n in np.nonzero((start >= 0) & (count > 0))[0]:
         s, c = int(start[n]), int(count[n])
         row_start[n] = nrows
         idx = nrows * PACK + np.arange(c)
@@ -486,12 +583,14 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
     nodes = np.zeros((Kp, LANES), np.float32)
     nodes[:Kt, 0:3] = bmin
     nodes[:Kt, 3:6] = bmax
-    ints = np.full((Kp, 14), -1, np.int32)
+    ints = np.full((Kp, 15), -1, np.int32)
     ints[:, 13] = 0
     ints[:Kt, 0:12] = links.transpose(1, 0, 2).reshape(Kt, 12)
     ints[:Kt, 12] = row_start
     ints[:Kt, 13] = count
-    nodes[:, 6:20] = ints.view(np.float32)
+    if vox_base is not None:
+        ints[:Kt, 14] = np.where(vox_cut >= 0, vox_base + vox_cut, -1)
+    nodes[:, 6:21] = ints.view(np.float32)
 
     prims = _pack_prims_8(order, tri_v0, tri_e1, tri_e2, sph_center,
                           sph_radius, num_tris, row_of_prim, n_rows_padded)
@@ -523,7 +622,7 @@ def _select_links(irow, o):
 
 
 def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
-                         resident: bool = False):
+                         resident: bool = False, has_lod: bool = False):
     """resident=True: the packed prim pool lives in VMEM and fat leaves
     read it directly (no DMA at all) — chosen when the scene fits; the
     streamed variant (prims in HBM, pipelined fixed-window copies) is the
@@ -639,6 +738,8 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             irow = f2i(row)
             hitl, missl = _select_links(irow, ordv)
             start, count = irow[0, 18], irow[0, 19]
+            if has_lod:
+                voxp = irow[0, 20]  # baked voxel-leaf prim id (else -1)
 
             t0x = (bminx - rox) * ivx
             t1x = (bmaxx - rox) * ivx
@@ -661,6 +762,15 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
             anyhit = jnp.any(hitv) & active
             enter_block = (start >= 0) & anyhit
+
+            if has_lod:
+                # baked voxel leaf: the subtree was pruned at build; the
+                # node hits as a solid box at tenter (oracle rule,
+                # accel/traverse.py LOD branch / threaded_bvh_traverser
+                # .h:221-277) and the walk takes the skip link
+                closer_v = hitv & (tenter > t_min) & (voxp >= 0)
+                t = jnp.where(closer_v, tenter, t)
+                prim = jnp.where(closer_v, voxp, prim)
 
             # drain the leaf DMA issued on a previous step (it has been
             # flying behind this step's slab math)
@@ -700,13 +810,15 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("any_hit", "t_min", "has_spheres", "resident")
+    jax.jit,
+    static_argnames=("any_hit", "t_min", "has_spheres", "resident", "has_lod"),
 )
 def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
                             any_hit=False, t_min=1e-4, has_spheres=True,
-                            resident=False):
+                            resident=False, has_lod=False):
     g = rox.shape[0] // ROWS
-    kernel = _make_treelet_kernel(any_hit, float(t_min), has_spheres, resident)
+    kernel = _make_treelet_kernel(any_hit, float(t_min), has_spheres, resident,
+                                  has_lod)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(rox.shape, jnp.float32),
@@ -1208,6 +1320,7 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
             any_hit=any_hit, t_min=t_min,
             has_spheres=scene["num_spheres"] > 0,
             resident=pool_mb <= 10.0,
+            has_lod=bool(scene.get("trl_has_lod")),
         )
         prim_f = flat(prim)
         u, v = _recompute_uv(scene, ro, rd, prim_f)
