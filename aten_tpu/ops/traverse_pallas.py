@@ -326,7 +326,10 @@ def _directional_links(cent, hit, miss, start):
         stack = [(0, -1)]
         while stack:
             n, skip = stack.pop()
-            if start[n] >= 0:
+            # leaf = prim-carrying fat leaf OR zero-prim voxel leaf from
+            # bake_lod_tree (start=-1 but hit==miss==skip; an interior
+            # node always has hit=n+1 != miss)
+            if start[n] >= 0 or hit[n] == miss[n]:
                 h[n] = skip
                 m[n] = skip
                 continue
