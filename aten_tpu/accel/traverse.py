@@ -267,7 +267,17 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
                 ahit & (vmtl >= 0)
                 & (ndepth >= scene["lod_depth"]) & (t_enter > t_min)
             )
-            closer_v = vox & (t_enter < t)
+            # equal-tenter voxel ties (adjacent boxes sharing the entry
+            # plane) are visit-order races between this walk and the
+            # kernels' direction-ordered walks: break them
+            # deterministically toward the SMALLER original node index
+            vtie = (
+                (t_enter <= t_exit) & (t_exit > 0.0) & active
+                & (vmtl >= 0) & (ndepth >= scene["lod_depth"])
+                & (t_enter > t_min)
+                & (t_enter == t) & (vox_base + curc < prim)
+            )
+            closer_v = (vox & (t_enter < t)) | vtie
             t = jnp.where(closer_v, t_enter, t)
             prim = jnp.where(closer_v, vox_base + curc, prim)
             u = jnp.where(closer_v, 0.0, u)

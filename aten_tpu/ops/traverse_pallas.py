@@ -540,7 +540,7 @@ def _pack_prims_8(order, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
 
 
 def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
-                         num_tris, treelet_max=TREELET_MAX, voxid=None,
+                         num_tris, treelet_max=None, voxid=None,
                          vox_base=None):
     """Cut the threaded BVH into a VMEM top tree + HBM packed prim rows.
 
@@ -554,6 +554,10 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
     voxid: per-node original indices from bake_lod_tree (voxel leaves);
     their rows get lane 20 = vox_base + voxid and no prim range.
     """
+    if treelet_max is None:
+        import os
+
+        treelet_max = int(os.environ.get("ATEN_TRL_MAX", TREELET_MAX))
     order = np.asarray(bvh["prim_order"], np.int64)
     protect = None if voxid is None else (np.asarray(voxid) >= 0)
     bmin, bmax, hit, miss, start, count, keep = treelet_cut(
@@ -625,7 +629,8 @@ def _select_links(irow, o):
 
 
 def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
-                         resident: bool = False, has_lod: bool = False):
+                         resident: bool = False, has_lod: bool = False,
+                         stats: bool = False):
     """resident=True: the packed prim pool lives in VMEM and fat leaves
     read it directly (no DMA at all) — chosen when the scene fits; the
     streamed variant (prims in HBM, pipelined fixed-window copies) is the
@@ -643,8 +648,12 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
         nodes_ref, prims_hbm,
         rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref, t0_ref,
         tout_ref, pout_ref,
-        scratch_ref, sem_ref,
+        *rest,
     ):
+        if stats:
+            sout_ref, lout_ref, scratch_ref, sem_ref = rest
+        else:
+            scratch_ref, sem_ref = rest
         rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
         rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
 
@@ -703,16 +712,18 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             return t, prim
 
         def intersect_pending(pstart, pcount, t, prim):
-            """Test a fat leaf's prims (waiting on its DMA if streamed)."""
+            """Test a fat leaf's prims (waiting on its DMA if streamed).
+
+            Statically unrolled over the fixed TRL_ROWS window with
+            per-slot masks: a dynamic-trip fori_loop here costs ~100 ns
+            of loop overhead PER ROW (launch-amortized lab timing), more
+            than the masked extra rows cost."""
             if not resident:
                 pltpu.make_async_copy(
                     prims_hbm.at[pl.ds(pstart, TRL_ROWS), :], scratch_ref,
                     sem_ref,
                 ).wait()
-            nrows = (pcount + (PACK - 1)) // PACK
-
-            def row_body(r, tp2):
-                t, prim = tp2
+            for r in range(TRL_ROWS):
                 if resident:
                     prow = prims_hbm[pl.ds(pstart + r, 1), :]
                 else:
@@ -721,9 +732,7 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
                 for j in range(PACK):
                     ok = (r * PACK + j) < pcount
                     t, prim = test_prim_slot(prow, pirow, j, ok, t, prim)
-                return (t, prim)
-
-            return jax.lax.fori_loop(0, nrows, row_body, (t, prim))
+            return (t, prim)
 
         t_init = t0_ref[:]
         prim0 = jnp.full((ROWS, LANES), -1, jnp.int32)
@@ -732,7 +741,9 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             return (c[0] >= 0) | (c[3] >= 0)
 
         def body(c):
-            cur, t, prim, pstart, pcount = c
+            cur, t, prim, pstart, pcount, ns, lr = c
+            ns = ns + 1
+            lr = lr + jnp.where(pstart >= 0, (pcount + PACK - 1) // PACK, 0)
             active = cur >= 0
             curc = jnp.maximum(cur, 0)
             row = nodes_ref[pl.ds(curc, 1), :]
@@ -770,8 +781,14 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
                 # baked voxel leaf: the subtree was pruned at build; the
                 # node hits as a solid box at tenter (oracle rule,
                 # accel/traverse.py LOD branch / threaded_bvh_traverser
-                # .h:221-277) and the walk takes the skip link
-                closer_v = hitv & (tenter > t_min) & (voxp >= 0)
+                # .h:221-277) and the walk takes the skip link.  Equal-
+                # tenter ties between voxels break toward the smaller
+                # node id (visit order differs from the oracle's).
+                vtie = (
+                    (tenter <= texit) & (texit > 0.0) & want
+                    & (tenter == t) & (voxp < prim)
+                )
+                closer_v = (hitv | vtie) & (tenter > t_min) & (voxp >= 0)
                 t = jnp.where(closer_v, tenter, t)
                 prim = jnp.where(closer_v, voxp, prim)
 
@@ -800,29 +817,297 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             nxt = jnp.where(active, nxt, cur)
             if any_hit:
                 nxt = jnp.where(jnp.all(prim >= 0), -1, nxt)
-            return (nxt, t, prim, pstart, pcount)
+            return (nxt, t, prim, pstart, pcount, ns, lr)
 
         cur0 = jnp.int32(0)
-        _, t, prim, _, _ = jax.lax.while_loop(
-            cond, body, (cur0, t_init, prim0, jnp.int32(-1), jnp.int32(0))
+        _, t, prim, _, _, ns, lr = jax.lax.while_loop(
+            cond, body,
+            (cur0, t_init, prim0, jnp.int32(-1), jnp.int32(0),
+             jnp.int32(0), jnp.int32(0)),
         )
         tout_ref[:] = t
         pout_ref[:] = prim
+        if stats:
+            sout_ref[:] = jnp.full((ROWS, LANES), ns, jnp.int32)
+            lout_ref[:] = jnp.full((ROWS, LANES), lr, jnp.int32)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("any_hit", "t_min", "has_spheres", "resident", "has_lod"),
+    static_argnames=("any_hit", "t_min", "has_spheres", "resident", "has_lod",
+                     "stats"),
 )
 def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
                             any_hit=False, t_min=1e-4, has_spheres=True,
-                            resident=False, has_lod=False):
+                            resident=False, has_lod=False, stats=False):
     g = rox.shape[0] // ROWS
     kernel = _make_treelet_kernel(any_hit, float(t_min), has_spheres, resident,
-                                  has_lod)
+                                  has_lod, stats)
     ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rox.shape, jnp.int32),
+    ]
+    nout = 2
+    if stats:
+        out_shape += [
+            jax.ShapeDtypeStruct(rox.shape, jnp.int32),
+            jax.ShapeDtypeStruct(rox.shape, jnp.int32),
+        ]
+        nout = 4
+    prim_space = pltpu.VMEM if resident else pltpu.ANY
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # top tree resident
+            pl.BlockSpec(memory_space=prim_space),   # prim rows
+        ] + [ray_spec] * 7,
+        out_specs=[ray_spec] * nout,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((TRL_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
+
+
+# ---------------------------------------------------------------------------
+# v4: SMT treelet kernel (the round-3 throughput push).
+#
+# Lab measurement (tools/kernel_lab.py, dragon primary): one while-loop
+# iteration of the v3 walk costs ~330 ns of pure LATENCY — the serial
+# chain "dynamic row load -> scalar link extracts -> slab math ->
+# cross-lane any() reduce -> scalar cursor select -> next load" — while
+# its VPU work is only ~35 cycles (~37 ns).  The kernel is chain-
+# latency-bound, not compute-bound (42 node steps + 25 leaf rows per
+# tile = ~8 us of math inside a 23 us tile).
+#
+# v4 therefore walks C INDEPENDENT ray tiles per grid step ("SMT"):
+# each iteration advances C separate cursors whose load/extract/reduce
+# chains have no data dependencies on each other, in the hope that
+# Mosaic's scheduler overlaps their latencies.  MEASURED OUTCOME: bare
+# chains do overlap perfectly in isolation (tools/chase_lab.py smt4:
+# 4 chases at the cost of 1), but the full kernel does NOT — the
+# per-chain leaf lax.cond branches serialize the bodies (dragon: v3
+# 53.5 vs smt-2 45.2 Mrays/s, launch-amortized) — so v3 stays the
+# default (ATEN_TPU_KERNEL=smt selects this one).  Kept as the basis
+# for a branch-free rework.
+# ---------------------------------------------------------------------------
+
+
+def _make_smt_kernel(any_hit: bool, t_min: float, has_spheres: bool,
+                     resident: bool, has_lod: bool, chains: int):
+    def f2i(x):
+        return pltpu.bitcast(x, jnp.int32)
+
+    C = chains
+
+    def kernel(
+        nodes_ref, prims_hbm,
+        rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref, t0_ref,
+        tout_ref, pout_ref,
+        scratch_ref, sem_ref,
+    ):
+        def safe_inv(d):
+            return jnp.where(
+                jnp.abs(d) > 1e-12, 1.0 / jnp.where(d == 0, 1.0, d), 1e12
+            )
+
+        # per-chain ray blocks (static (8,128) slices of the (C*8,128) tile)
+        RO, RD, IV, ORD = [], [], [], []
+        for c in range(C):
+            s = slice(c * ROWS, (c + 1) * ROWS)
+            ro = (rox_ref[s, :], roy_ref[s, :], roz_ref[s, :])
+            rd = (rdx_ref[s, :], rdy_ref[s, :], rdz_ref[s, :])
+            iv = tuple(safe_inv(d) for d in rd)
+            RO.append(ro)
+            RD.append(rd)
+            IV.append(iv)
+            ORD.append(_pick_ordering(*rd))
+
+        def test_prim_slot(c, prow, pirow, j, ok, t, prim):
+            rox, roy, roz = RO[c]
+            rdx, rdy, rdz = RD[c]
+            b = 16 * j
+            v0x, v0y, v0z = prow[0, b + 0], prow[0, b + 1], prow[0, b + 2]
+            e1x, e1y, e1z = prow[0, b + 3], prow[0, b + 4], prow[0, b + 5]
+            e2x, e2y, e2z = prow[0, b + 6], prow[0, b + 7], prow[0, b + 8]
+            pid = pirow[0, b + 9]
+            px = rdy * e2z - rdz * e2y
+            py = rdz * e2x - rdx * e2z
+            pz = rdx * e2y - rdy * e2x
+            det = e1x * px + e1y * py + e1z * pz
+            inv_det = jnp.where(
+                jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0
+            )
+            tvx, tvy, tvz = rox - v0x, roy - v0y, roz - v0z
+            uu = (tvx * px + tvy * py + tvz * pz) * inv_det
+            qx = tvy * e1z - tvz * e1y
+            qy = tvz * e1x - tvx * e1z
+            qz = tvx * e1y - tvy * e1x
+            vv = (rdx * qx + rdy * qy + rdz * qz) * inv_det
+            tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+            hp = (
+                (jnp.abs(det) > 1e-12) & (uu >= 0.0) & (vv >= 0.0)
+                & (uu + vv <= 1.0) & (tt > t_min) & ok
+            )
+            if has_spheres:
+                cx, cy, cz, rr = v0x, v0y, v0z, e1x
+                istri = pirow[0, b + 10] > 0
+                ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
+                cc = ocx * ocx + ocy * ocy + ocz * ocz - rr * rr
+                bq = ocx * rdx + ocy * rdy + ocz * rdz
+                disc = bq * bq - cc
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                ts0 = -bq - sq
+                ts1 = -bq + sq
+                ts = jnp.where(ts0 > t_min, ts0, ts1)
+                h_sph = (disc > 0.0) & (ts > t_min)
+                tp = jnp.where(istri, tt, ts)
+                hp = ((hp & istri) | (h_sph & jnp.logical_not(istri) & ok))
+            else:
+                tp = tt
+            closer = hp & (tp < t)
+            t = jnp.where(closer, tp, t)
+            prim = jnp.where(closer, pid, prim)
+            return t, prim
+
+        def intersect_pending(c, pstart, pcount, t, prim):
+            if not resident:
+                pltpu.make_async_copy(
+                    prims_hbm.at[pl.ds(pstart, TRL_ROWS), :],
+                    scratch_ref.at[c], sem_ref.at[c],
+                ).wait()
+            nrows = (pcount + (PACK - 1)) // PACK
+
+            def row_body(r, tp2):
+                t, prim = tp2
+                if resident:
+                    prow = prims_hbm[pl.ds(pstart + r, 1), :]
+                else:
+                    prow = scratch_ref[c, pl.ds(r, 1), :]
+                pirow = f2i(prow)
+                for j in range(PACK):
+                    ok = (r * PACK + j) < pcount
+                    t, prim = test_prim_slot(c, prow, pirow, j, ok, t, prim)
+                return (t, prim)
+
+            return jax.lax.fori_loop(0, nrows, row_body, (t, prim))
+
+        def chain_init(c):
+            s = slice(c * ROWS, (c + 1) * ROWS)
+            return (jnp.int32(0), t0_ref[s, :],
+                    jnp.full((ROWS, LANES), -1, jnp.int32),
+                    jnp.int32(-1), jnp.int32(0))
+
+        def cond(state):
+            alive = None
+            for c in range(C):
+                cur, _, _, pstart, _ = state[c]
+                a = (cur >= 0) | (pstart >= 0)
+                alive = a if alive is None else (alive | a)
+            return alive
+
+        def chain_step(c, st):
+            cur, t, prim, pstart, pcount = st
+            rox, roy, roz = RO[c]
+            rdx, rdy, rdz = RD[c]
+            ivx, ivy, ivz = IV[c]
+            active = cur >= 0
+            curc = jnp.maximum(cur, 0)
+            row = nodes_ref[pl.ds(curc, 1), :]
+            irow = f2i(row)
+            hitl, missl = _select_links(irow, ORD[c])
+            start, count = irow[0, 18], irow[0, 19]
+            bminx, bminy, bminz = row[0, 0], row[0, 1], row[0, 2]
+            bmaxx, bmaxy, bmaxz = row[0, 3], row[0, 4], row[0, 5]
+            t0x = (bminx - rox) * ivx
+            t1x = (bmaxx - rox) * ivx
+            t0y = (bminy - roy) * ivy
+            t1y = (bmaxy - roy) * ivy
+            t0z = (bminz - roz) * ivz
+            t1z = (bmaxz - roz) * ivz
+            tenter = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            texit = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            if any_hit:
+                want = prim < 0
+            else:
+                want = jnp.full_like(prim, True, dtype=jnp.bool_)
+            hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
+            anyhit = jnp.any(hitv) & active
+            enter_block = (start >= 0) & anyhit
+
+            if has_lod:
+                voxp = irow[0, 20]
+                vtie = (
+                    (tenter <= texit) & (texit > 0.0) & want
+                    & (tenter == t) & (voxp < prim)
+                )
+                closer_v = (hitv | vtie) & (tenter > t_min) & (voxp >= 0)
+                t = jnp.where(closer_v, tenter, t)
+                prim = jnp.where(closer_v, voxp, prim)
+
+            # drain the leaf latched on a previous step
+            t, prim = jax.lax.cond(
+                pstart >= 0,
+                lambda tp: intersect_pending(c, pstart, pcount, tp[0], tp[1]),
+                lambda tp: tp,
+                (t, prim),
+            )
+
+            if not resident:
+                @pl.when(enter_block)
+                def _():
+                    pltpu.make_async_copy(
+                        prims_hbm.at[pl.ds(start, TRL_ROWS), :],
+                        scratch_ref.at[c], sem_ref.at[c],
+                    ).start()
+
+            pstart = jnp.where(enter_block, start, -1)
+            pcount = jnp.where(enter_block, count, 0)
+            nxt = jnp.where(anyhit, hitl, missl)
+            nxt = jnp.where(active, nxt, cur)
+            if any_hit:
+                nxt = jnp.where(jnp.all(prim >= 0), -1, nxt)
+            return (nxt, t, prim, pstart, pcount)
+
+        def body(state):
+            return tuple(chain_step(c, state[c]) for c in range(C))
+
+        out = jax.lax.while_loop(
+            cond, body, tuple(chain_init(c) for c in range(C))
+        )
+        for c in range(C):
+            s = slice(c * ROWS, (c + 1) * ROWS)
+            tout_ref[s, :] = out[c][1]
+            pout_ref[s, :] = out[c][2]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("any_hit", "t_min", "has_spheres", "resident", "has_lod",
+                     "chains"),
+)
+def _traverse_smt_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
+                        any_hit=False, t_min=1e-4, has_spheres=True,
+                        resident=False, has_lod=False, chains=4):
+    C = chains
+    g = rox.shape[0] // (C * ROWS)
+    kernel = _make_smt_kernel(any_hit, float(t_min), has_spheres, resident,
+                              has_lod, C)
+    ray_spec = pl.BlockSpec((C * ROWS, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(rox.shape, jnp.float32),
         jax.ShapeDtypeStruct(rox.shape, jnp.int32),
@@ -838,29 +1123,41 @@ def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
         out_specs=[ray_spec] * 2,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((TRL_ROWS, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((C, TRL_ROWS, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((C,)),
         ],
     )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
 
 
+
 def _recompute_uv(scene, ro, rd, prim):
     """Winner-only barycentrics: one Möller-Trumbore per ray in JAX for
-    the triangle the kernel selected (spheres/misses get u = v = 0)."""
+    the triangle the kernel selected (spheres/misses get u = v = 0).
+
+    Component form with the EXACT op order of the oracle traverser
+    (accel/traverse.py leaf loop) so u/v are bitwise-stable between the
+    kernel and oracle paths — 1e-5-level differences here butterfly
+    whole bounce paths and fail the full-image radiance parity gate."""
     num_tris = scene["num_tris"]
     T = scene["tri_v0"].shape[0]
     is_tri = (prim >= 0) & (prim < num_tris)
     tid = jnp.clip(prim, 0, T - 1)
-    v0 = jnp.take(scene["tri_v0"], tid, axis=0)
-    e1 = jnp.take(scene["tri_e1"], tid, axis=0)
-    e2 = jnp.take(scene["tri_e2"], tid, axis=0)
-    pv = jnp.cross(rd, e2)
-    det = jnp.sum(e1 * pv, axis=-1)
-    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-    tv = ro - v0
-    u = jnp.sum(tv * pv, axis=-1) * inv
-    qv = jnp.cross(tv, e1)
-    v = jnp.sum(rd * qv, axis=-1) * inv
+    v0x, v0y, v0z = (jnp.take(scene["tri_v0"][:, a], tid) for a in range(3))
+    e1x, e1y, e1z = (jnp.take(scene["tri_e1"][:, a], tid) for a in range(3))
+    e2x, e2y, e2z = (jnp.take(scene["tri_e2"][:, a], tid) for a in range(3))
+    rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
+    rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
+    px = rdy * e2z - rdz * e2y
+    py = rdz * e2x - rdx * e2z
+    pz = rdx * e2y - rdy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    dx, dy, dz = rox - v0x, roy - v0y, roz - v0z
+    u = (dx * px + dy * py + dz * pz) * inv
+    qx = dy * e1z - dz * e1y
+    qy = dz * e1x - dx * e1z
+    qz = dx * e1y - dy * e1x
+    v = (rdx * qx + rdy * qy + rdz * qz) * inv
     u = jnp.where(is_tri, u, 0.0)
     v = jnp.where(is_tri, v, 0.0)
     return u, v
@@ -1282,10 +1579,16 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
 
     Requires the scene to carry the pallas layout (SceneBuilder adds it).
     """
+    import os
+
     ro = jax.lax.stop_gradient(ro)
     rd = jax.lax.stop_gradient(rd)
     N = ro.shape[0]
-    Np = -(-N // TILE) * TILE
+    kern = os.environ.get("ATEN_TPU_KERNEL", "v3")
+    chains = int(os.environ.get("ATEN_TPU_CHAINS", "4"))
+    quantum = TILE * (chains if ("pl_nodes" not in scene and kern == "smt")
+                      else 1)
+    Np = -(-N // quantum) * quantum
     padn = Np - N
 
     if t_max is None:
@@ -1317,13 +1620,20 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
         # packed pools that fit VMEM stay resident (no leaf DMA at all);
         # bigger scenes stream fat-leaf windows from HBM
         pool_mb = (scene["trl_nodes"].size + scene["trl_prims"].size) * 4e-6
-        t, prim = _traverse_treelet_tiles(
-            scene["trl_nodes"], scene["trl_prims"],
-            rox, roy, roz, rdx, rdy, rdz, t0p,
+        kw = dict(
             any_hit=any_hit, t_min=t_min,
             has_spheres=scene["num_spheres"] > 0,
             resident=pool_mb <= 10.0,
             has_lod=bool(scene.get("trl_has_lod")),
+        )
+        if kern == "smt":
+            impl_fn = _traverse_smt_tiles
+            kw["chains"] = chains
+        else:
+            impl_fn = _traverse_treelet_tiles
+        t, prim = impl_fn(
+            scene["trl_nodes"], scene["trl_prims"],
+            rox, roy, roz, rdx, rdy, rdz, t0p, **kw,
         )
         prim_f = flat(prim)
         u, v = _recompute_uv(scene, ro, rd, prim_f)
