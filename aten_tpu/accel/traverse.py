@@ -397,10 +397,16 @@ def occluded(scene, ro, rd, dist, eps=1e-3, impl="auto"):
     """Shadow-ray visibility: True where something blocks [eps, dist-eps].
 
     Counterpart of HitTestToTargetLight (pathtracing_impl.h:266-351)
-    without the alpha punch-through loop (see occlusion_alpha).
+    without the alpha punch-through loop (see occlusion_alpha).  Shadow
+    rays from scattered shading points are tile-incoherent, so they go
+    through the sorted traversal like bounce rays (measured 2-3x on the
+    any-hit kernel for random rays).  Lanes with dist <= eps never hit:
+    pass dist = 0 for dead lanes to exclude them from the tile votes.
     """
-    res = traverse(scene, ro, rd, t_max=dist - eps, any_hit=True, t_min=eps, impl=impl)
-    return res["hit"]
+    res = traverse_sorted(
+        scene, ro, rd, t_max=dist - eps, any_hit=True, t_min=eps, impl=impl
+    )
+    return res["hit"] & (dist > eps)
 
 
 def occlusion_alpha(scene, ro, rd, dist, eps=1e-3, max_hits=4, impl="auto"):
@@ -422,9 +428,9 @@ def occlusion_alpha(scene, ro, rd, dist, eps=1e-3, max_hits=4, impl="auto"):
     ) - eps
     active = remaining > 0
     for _ in range(max_hits):
-        res = traverse(
-            scene, cur_ro, rd, t_max=remaining, any_hit=False, t_min=eps,
-            impl=impl,
+        res = traverse_sorted(
+            scene, cur_ro, rd, t_max=jnp.where(active, remaining, 0.0),
+            any_hit=False, t_min=eps, impl=impl,
         )
         from aten_tpu.integrator.pathtracer import eval_hit
 

@@ -322,8 +322,13 @@ def _trace_paths(
         ro, rd, throughput, radiance, alive, pdf_prev, prev_singular, aovs = carry
         # sorted traversal: bounce rays are BRDF-scattered and tile-
         # incoherent; regrouping by (octant, origin morton) keeps the
-        # Pallas tile votes tight (no-op permutation semantically)
-        hit = traverse_sorted(scene, ro, rd)
+        # Pallas tile votes tight (no-op permutation semantically).
+        # Dead lanes get t_max = 0 so they drop out of the tile votes
+        # entirely (by depth 4-5 half the lanes are dead; their stale
+        # rays otherwise keep inflating every tile's visited union).
+        hit = traverse_sorted(
+            scene, ro, rd, t_max=jnp.where(alive, vm.INF, 0.0)
+        )
         h = eval_hit(scene, ro, rd, hit)
         mat = gather_material(scene["materials"], h["mtl"])
         # shade-time texture fetches (sampleTexture role)
@@ -408,8 +413,12 @@ def _trace_paths(
             is_toon = (mat["type"] == MaterialType.TOON) | (
                 mat["type"] == MaterialType.STYLIZED_BRDF
             )
+            occ_toon = (
+                lambda o, d, dist, a=alive: occluded_fn(
+                    o, d, jnp.where(a, dist, 0.0))
+            )
             t_rgb, state = toon_term(
-                scene, mat, h["p"], h["ns"], rd, state, occluded_fn,
+                scene, mat, h["p"], h["ns"], rd, state, occ_toon,
                 stylized=mat["type"] == MaterialType.STYLIZED_BRDF,
             )
             toon_add = alive & hit["hit"] & is_toon & ~punch & (bounce == 0)
@@ -436,9 +445,14 @@ def _trace_paths(
         alive = alive & hit["hit"] & (~is_emis | punch)
 
         wo = -rd
-        # ---- NEE (skipped for singular BSDFs)
+        # ---- NEE (skipped for singular BSDFs); dead lanes pass dist=0
+        # so their shadow rays drop out of the traversal votes
+        occ_nee = (
+            lambda o, d, dist, a=alive: occluded_fn(
+                o, d, jnp.where(a, dist, 0.0))
+        )
         contrib, state = nee.nee_contribution(
-            scene, mat, h["p"], h["ns"], wo, state, occluded_fn,
+            scene, mat, h["p"], h["ns"], wo, state, occ_nee,
             used=scene.get("used_mtl_types"),
         )
         is_singular_mat = (mat["type"] == MaterialType.SPECULAR) | (
