@@ -48,7 +48,8 @@ def compact(alive, *arrays):
 
 def scatter_back(perm, *arrays):
     """Inverse of compact: scatter results back to original lane order."""
-    inv = jnp.argsort(perm)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
     return tuple(jnp.take(a, inv, axis=0) for a in arrays)
 
 

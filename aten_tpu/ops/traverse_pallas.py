@@ -51,6 +51,16 @@ except Exception:  # pragma: no cover
 # 13 pid, 14 is_tri (ints bitcast).
 
 
+def _seed_dead(prim0, t_init, any_hit, t_min):
+    """Any-hit: lanes whose t0 <= t_min can never hit; seed prim=0 so
+    they (a) drop out of the `want` tile votes and (b) satisfy the
+    all(prim>=0) early exit instead of pinning the tile to a full walk
+    (advisor r3).  Wrappers mask these lanes back to prim=-1."""
+    if any_hit:
+        return jnp.where(t_init <= t_min, 0, prim0)
+    return prim0
+
+
 def build_pallas_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius, num_tris):
     """Precompute row-per-record VMEM arrays (numpy, build time).
 
@@ -109,7 +119,8 @@ def _make_kernel(any_hit: bool, t_min: float):
         ivx, ivy, ivz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
 
         t_init = t0_ref[:]
-        prim0 = jnp.full((ROWS, LANES), -1, jnp.int32)
+        prim0 = _seed_dead(jnp.full((ROWS, LANES), -1, jnp.int32),
+                           t_init, any_hit, t_min)
         zero = jnp.zeros((ROWS, LANES), jnp.float32)
 
         def cond(c):
@@ -147,7 +158,10 @@ def _make_kernel(any_hit: bool, t_min: float):
             if any_hit:
                 want = prim < 0
             else:
-                want = jnp.full_like(prim, True, dtype=jnp.bool_)
+                # closest: a dead lane (t0 <= t_min) can never accept a
+                # hit, yet boxes containing its stale origin still have
+                # tenter < 0 < ... <= t and would vote; mask it out.
+                want = t_init > t_min
             hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
             anyhit = jnp.any(hitv)
             is_leaf = start >= 0
@@ -302,6 +316,14 @@ def _traverse_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
 # ---------------------------------------------------------------------------
 
 TREELET_MAX = 64
+
+# Kernel-variant knobs, snapshotted ONCE at import: they are baked into
+# traced programs (padding quantum + kernel choice), so late env mutation
+# would silently desync the two (advisor r3 finding).
+import os as _os
+
+_ENV_KERNEL = _os.environ.get("ATEN_TPU_KERNEL", "v3")
+_ENV_CHAINS = int(_os.environ.get("ATEN_TPU_CHAINS", "4"))
 PACK = 8          # prims per 128-lane row (16 lanes each)
 TRL_ROWS = TREELET_MAX // PACK  # rows per fixed-size leaf DMA
 CHUNK = 64  # prim rows per DMA piece (32 KB) — legacy tt_ kernel only
@@ -558,12 +580,22 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
         import os
 
         treelet_max = int(os.environ.get("ATEN_TRL_MAX", TREELET_MAX))
+    # The kernel's leaf window (fixed DMA + statically unrolled
+    # intersect_pending) covers exactly TRL_ROWS*PACK prims; a larger
+    # cut would silently drop geometry (advisor r3, medium).
+    assert treelet_max <= TRL_ROWS * PACK, (
+        f"treelet_max={treelet_max} exceeds the kernel leaf window "
+        f"{TRL_ROWS * PACK} (TRL_ROWS*PACK); prims would be dropped")
     order = np.asarray(bvh["prim_order"], np.int64)
     protect = None if voxid is None else (np.asarray(voxid) >= 0)
     bmin, bmax, hit, miss, start, count, keep = treelet_cut(
         bvh, treelet_max, protect=protect
     )
     Kt = hit.shape[0]
+    if count.size:
+        assert int(count.max()) <= TRL_ROWS * PACK, (
+            f"treelet cut produced a {int(count.max())}-prim leaf; kernel "
+            f"window is {TRL_ROWS * PACK}")
     links = _directional_links((bmin + bmax) * 0.5, hit, miss, start)
 
     vox_cut = np.full(Kt, -1, np.int64)
@@ -735,7 +767,8 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             return (t, prim)
 
         t_init = t0_ref[:]
-        prim0 = jnp.full((ROWS, LANES), -1, jnp.int32)
+        prim0 = _seed_dead(jnp.full((ROWS, LANES), -1, jnp.int32),
+                           t_init, any_hit, t_min)
 
         def cond(c):
             return (c[0] >= 0) | (c[3] >= 0)
@@ -772,7 +805,10 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             if any_hit:
                 want = prim < 0
             else:
-                want = jnp.full_like(prim, True, dtype=jnp.bool_)
+                # closest: a dead lane (t0 <= t_min) can never accept a
+                # hit, yet boxes containing its stale origin still have
+                # tenter < 0 < ... <= t and would vote; mask it out.
+                want = t_init > t_min
             hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
             anyhit = jnp.any(hitv) & active
             enter_block = (start >= 0) & anyhit
@@ -999,8 +1035,10 @@ def _make_smt_kernel(any_hit: bool, t_min: float, has_spheres: bool,
 
         def chain_init(c):
             s = slice(c * ROWS, (c + 1) * ROWS)
-            return (jnp.int32(0), t0_ref[s, :],
-                    jnp.full((ROWS, LANES), -1, jnp.int32),
+            t_init = t0_ref[s, :]
+            prim0 = _seed_dead(jnp.full((ROWS, LANES), -1, jnp.int32),
+                               t_init, any_hit, t_min)
+            return (jnp.int32(0), t_init, prim0,
                     jnp.int32(-1), jnp.int32(0))
 
         def cond(state):
@@ -1016,6 +1054,7 @@ def _make_smt_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             rox, roy, roz = RO[c]
             rdx, rdy, rdz = RD[c]
             ivx, ivy, ivz = IV[c]
+            t_init = t0_ref[c * ROWS:(c + 1) * ROWS, :]
             active = cur >= 0
             curc = jnp.maximum(cur, 0)
             row = nodes_ref[pl.ds(curc, 1), :]
@@ -1041,7 +1080,10 @@ def _make_smt_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             if any_hit:
                 want = prim < 0
             else:
-                want = jnp.full_like(prim, True, dtype=jnp.bool_)
+                # closest: a dead lane (t0 <= t_min) can never accept a
+                # hit, yet boxes containing its stale origin still have
+                # tenter < 0 < ... <= t and would vote; mask it out.
+                want = t_init > t_min
             hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
             anyhit = jnp.any(hitv) & active
             enter_block = (start >= 0) & anyhit
@@ -1373,7 +1415,8 @@ def _make_tlas_treelet_kernel(any_hit: bool, t_min: float):
             return t, prim, binst, u, v
 
         t_init = t0_ref[:]
-        prim0 = jnp.full((ROWS, LANES), -1, jnp.int32)
+        prim0 = _seed_dead(jnp.full((ROWS, LANES), -1, jnp.int32),
+                           t_init, any_hit, t_min)
         zero = jnp.zeros((ROWS, LANES), jnp.float32)
 
         def cond(c):
@@ -1424,7 +1467,10 @@ def _make_tlas_treelet_kernel(any_hit: bool, t_min: float):
             if any_hit:
                 want = prim < 0
             else:
-                want = jnp.full_like(prim, True, dtype=jnp.bool_)
+                # closest: a dead lane (t0 <= t_min) can never accept a
+                # hit, yet boxes containing its stale origin still have
+                # tenter < 0 < ... <= t and would vote; mask it out.
+                want = t_init > t_min
             hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
             anyhit = jnp.any(hitv) & active
             enter_blk = (start >= 0) & anyhit
@@ -1570,6 +1616,8 @@ def traverse_pallas_tlas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     )
     flat = lambda x: x.reshape(-1)[:N]
     prim = flat(prim)
+    if any_hit:  # undo the dead-lane seed (_seed_dead)
+        prim = jnp.where(t0 <= t_min, -1, prim)
     return {"t": flat(t), "prim": prim, "u": flat(u), "v": flat(v),
             "hit": prim >= 0, "inst": flat(binst)}
 
@@ -1579,13 +1627,14 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
 
     Requires the scene to carry the pallas layout (SceneBuilder adds it).
     """
-    import os
-
     ro = jax.lax.stop_gradient(ro)
     rd = jax.lax.stop_gradient(rd)
     N = ro.shape[0]
-    kern = os.environ.get("ATEN_TPU_KERNEL", "v3")
-    chains = int(os.environ.get("ATEN_TPU_CHAINS", "4"))
+    # module-import snapshot: the knobs select the traced program, so a
+    # post-first-trace env mutation must not desync quantum vs kernel
+    # (advisor r3) — the scope is "process", read once at import.
+    kern = _ENV_KERNEL
+    chains = _ENV_CHAINS
     quantum = TILE * (chains if ("pl_nodes" not in scene and kern == "smt")
                       else 1)
     Np = -(-N // quantum) * quantum
@@ -1636,6 +1685,12 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
             rox, roy, roz, rdx, rdy, rdz, t0p, **kw,
         )
         prim_f = flat(prim)
+        if any_hit:  # undo the dead-lane seed (_seed_dead)
+            prim_f = jnp.where(t0 <= t_min, -1, prim_f)
         u, v = _recompute_uv(scene, ro, rd, prim_f)
+        return {"t": flat(t), "prim": prim_f, "u": u, "v": v,
+                "hit": prim_f >= 0}
     prim = flat(prim)
+    if any_hit:  # undo the dead-lane seed (_seed_dead)
+        prim = jnp.where(t0 <= t_min, -1, prim)
     return {"t": flat(t), "prim": prim, "u": u, "v": v, "hit": prim >= 0}
