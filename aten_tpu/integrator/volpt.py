@@ -44,9 +44,9 @@ from aten_tpu.volume.medium import (
     transmittance,
 )
 
-SHADOW_PUNCH_MAX = 4
-MEDIUM_STACK_DEPTH = 4  # reference: 8 (pt_params.h:25-40); 4 covers
-                        # glass-shell-in-smoke-in-air with one spare
+SHADOW_PUNCH_MAX = 10  # reference max_lookups (pathtracing_impl.h:290)
+MEDIUM_STACK_DEPTH = 8  # reference stack depth (misc/stack.h via
+                        # PathThroughput.medium, pt_params.h:25-40)
 T_FAR = jnp.float32(1e8)
 
 
@@ -85,31 +85,54 @@ def _shadow_transmittance(scene, ro, rd, dist, mstack, msize, seed):
     volume_pathtracing_impl.h:111-210): a hit that ENTERS a surface or
     hits a non-medium surface occludes; a hit EXITING a medium surface
     accumulates the current medium's transmittance over the traversed
-    sub-segment and pops the (value-copied) medium stack."""
+    sub-segment and pops the (value-copied) medium stack.
+
+    Early-exit while_loop: pass dist = 0 for lanes that don't need the
+    shadow ray — the walk (traversal + ratio tracking) ends the moment
+    no lane still has segment left (VERDICT r3 #4: the old version ran
+    SHADOW_PUNCH_MAX full closest-hit traversals + tracking loops for
+    every lane of every call)."""
     N = ro.shape[0]
-    tr = jnp.ones((N, 3), jnp.float32)
-    remaining = dist
-    for k in range(SHADOW_PUNCH_MAX):
+
+    def cond(st):
+        k, tr, ro, remaining, mstack, msize, act = st
+        return (k < SHADOW_PUNCH_MAX) & jnp.any(act)
+
+    def body(st):
+        k, tr, ro, remaining, mstack, msize, act = st
         cur_med = _stack_top(mstack, msize)
-        hitres = traverse(scene, ro, rd, t_max=remaining, t_min=1e-3)
+        hitres = traverse(
+            scene, ro, rd, t_max=jnp.where(act, remaining, 0.0), t_min=1e-3
+        )
         seg = jnp.where(hitres["hit"], hitres["t"], remaining)
-        tr = tr * transmittance(scene, cur_med, ro, rd, seg, seed + jnp.uint32(k))
+        tr_seg = transmittance(
+            scene, cur_med, ro, rd, jnp.where(act, seg, 0.0),
+            seed + k.astype(jnp.uint32), active=act,
+        )
+        tr = jnp.where(act[..., None], tr * tr_seg, tr)
         h = eval_hit(scene, ro, rd, hitres)
         mat = gather_material(scene["materials"], h["mtl"])
         has_med = mat["medium"] >= 0
         entering = vm.dot(-rd, h["ns"], keepdims=False) > 0.0
-        blocked = hitres["hit"] & (~has_med | entering)
+        blocked = act & hitres["hit"] & (~has_med | entering)
         tr = jnp.where(blocked[..., None], 0.0, tr)
         # exiting a medium surface: pop and continue straight through
+        cont = act & hitres["hit"] & ~blocked
         mstack, msize = _update_medium(
-            mstack, msize, jnp.ones_like(entering), entering, mat,
-            hitres["hit"] & ~blocked,
+            mstack, msize, jnp.ones_like(entering), entering, mat, cont
         )
-        ro = jnp.where(
-            hitres["hit"][..., None], h["p"] + rd * 1e-3, ro
+        ro = jnp.where(cont[..., None], h["p"] + rd * 1e-3, ro)
+        remaining = jnp.where(
+            cont, jnp.maximum(remaining - seg - 1e-3, 0.0), remaining
         )
-        remaining = jnp.where(hitres["hit"], remaining - seg - 1e-3, 0.0)
-        remaining = jnp.maximum(remaining, 0.0)
+        act = cont & (remaining > 0.0)
+        return (k + 1, tr, ro, remaining, mstack, msize, act)
+
+    st = (
+        jnp.int32(0), jnp.ones((N, 3), jnp.float32), ro, dist, mstack, msize,
+        dist > 0.0,
+    )
+    _, tr, _, _, _, _, _ = jax.lax.while_loop(cond, body, st)
     return tr
 
 
@@ -178,8 +201,11 @@ def _trace_volpt(
             ls = sample_light(scene, lidx, p_s, uc, (ua, ub))
             cos_sc = vm.dot(-rd, ls["dir"], keepdims=False)
             ph = hg_phase(ms["g"], cos_sc)
+            # dist=0 for lanes without a scatter event: the shadow walk
+            # early-exits them (their contribution is masked anyway)
             tr = _shadow_transmittance(
-                scene, p_s, ls["dir"], ls["dist"] * 0.999, mstack, msize,
+                scene, p_s, ls["dir"],
+                jnp.where(scattered, ls["dist"] * 0.999, 0.0), mstack, msize,
                 med_seed,
             )
             dist2 = jnp.maximum(ls["dist"] * ls["dist"], 1e-8)
@@ -240,15 +266,22 @@ def _trace_volpt(
             ls2 = sample_light(scene, lidx2, h["p"], uc2, (ua2, ub2))
             n_or = brdf_mod.orient_normal(h["ns"], wo)
             cos_s = vm.dot(n_or, ls2["dir"], keepdims=False)
-            f2 = brdf_mod.eval_bsdf(mat, h["ns"], wo, ls2["dir"])
-            pdf_b2 = brdf_mod.eval_pdf(mat, h["ns"], wo, ls2["dir"])
+            f2 = brdf_mod.eval_bsdf(mat, h["ns"], wo, ls2["dir"],
+                                    used=scene.get("used_mtl_types"))
+            pdf_b2 = brdf_mod.eval_pdf(mat, h["ns"], wo, ls2["dir"],
+                                       used=scene.get("used_mtl_types"))
             cos_l2 = jnp.maximum(vm.dot(ls2["nml"], -ls2["dir"], keepdims=False), 0.0)
             dist_sh2 = jnp.where(
                 ls2["area_measure"],
                 nee.shadow_distance(ls2["dist"], cos_l2), ls2["dist"] * 0.999,
             )
+            is_sing_mat = (mat["type"] == MaterialType.SPECULAR) | (
+                mat["type"] == MaterialType.REFRACTION
+            )
+            nee_need = surf_alive & ~is_sing_mat & (cos_s > 0)
             tr2 = _shadow_transmittance(
-                scene, h["p"] + n_or * 1e-3, ls2["dir"], dist_sh2,
+                scene, h["p"] + n_or * 1e-3, ls2["dir"],
+                jnp.where(nee_need, dist_sh2, 0.0),
                 mstack, msize, med_seed + jnp.uint32(7),
             )
             dist2b = jnp.maximum(ls2["dist"] * ls2["dist"], 1e-8)
@@ -266,9 +299,6 @@ def _trace_volpt(
                 / jnp.maximum(pdf_sel, 1e-12)
             )
             contrib = jnp.where(ls2["area_measure"][..., None], c_area, c_sing)
-            is_sing_mat = (mat["type"] == MaterialType.SPECULAR) | (
-                mat["type"] == MaterialType.REFRACTION
-            )
             radiance = radiance + jnp.where(
                 (surf_alive & ~is_sing_mat & (cos_s > 0))[..., None],
                 throughput * contrib, 0.0,
@@ -285,7 +315,8 @@ def _trace_volpt(
         # surface BSDF sample
         u1, u2_, state = smp.next_2d(state)
         u3, state = smp.next_1d(state)
-        samp = brdf_mod.sample_brdf(mat, h["ns"], wo, u1, u2_, u3)
+        samp = brdf_mod.sample_brdf(mat, h["ns"], wo, u1, u2_, u3,
+                                    used=scene.get("used_mtl_types"))
         n_or = brdf_mod.orient_normal(h["ns"], wo)
         cos_wi = jnp.abs(vm.dot(n_or, samp["wi"], keepdims=False))
         good = (samp["pdf"] > 1e-9) & (cos_wi > 1e-9)

@@ -406,9 +406,11 @@ def _era_theta_table(steps=91):
         phis = np.linspace(0.0, np.pi, 16, endpoint=False).astype(np.float32)
         tt = np.repeat(thetas, len(phis))
         pp = np.tile(phis, len(thetas))
-        # runs eagerly even when first touched inside a jit trace
-        with jax.ensure_compile_time_eval():
-            vals = np.asarray(era(tt, pp, n_orgs=48)).reshape(steps, len(phis))
+        # pure-NumPy host computation: the old eager-jnp build dispatched
+        # ~60 tiny device ops at trace time, which costs minutes through
+        # the remote-TPU tunnel (each eager op is its own compile+RPC)
+        vals = np.asarray(era(tt, pp, n_orgs=48, xp=np)).reshape(
+            steps, len(phis))
         _ERA_CACHE[steps] = (thetas, vals.mean(axis=1).astype(np.float32))
     return _ERA_CACHE[steps]
 

@@ -54,9 +54,11 @@ def ray_origins(n: int = RAY_ORG_NUM) -> np.ndarray:
     return np.asarray(pts, np.float32)
 
 
-def gen_ray(theta, phi):
+def gen_ray(theta, phi, xp=jnp):
     """Direction for spherical (theta, phi) in the tool's fixed frame
-    (GenRay, cpp:181-222).  Broadcasts over array inputs."""
+    (GenRay, cpp:181-222).  Broadcasts over array inputs.  xp selects
+    jnp (traced) or np (host table builds — avoids dispatching dozens of
+    eager device ops through the TPU tunnel at trace time)."""
     v0 = FRONT[1] - FRONT[0]
     v1 = FRONT[2] - FRONT[0]
     n = np.cross(v0 / np.linalg.norm(v0), v1 / np.linalg.norm(v1))
@@ -65,45 +67,45 @@ def gen_ray(theta, phi):
     t = t / np.linalg.norm(t)
     b = np.array([-1.0, 0.0, 1.0])
     b = b / np.linalg.norm(b)
-    st = jnp.sin(theta)
-    x = st * jnp.cos(phi)
-    y = st * jnp.sin(phi)
-    z = jnp.cos(theta)
+    st = xp.sin(theta)
+    x = st * xp.cos(phi)
+    y = st * xp.sin(phi)
+    z = xp.cos(theta)
     d = (
         x[..., None] * t[None]
         + y[..., None] * b[None]
         + z[..., None] * n[None]
     )
-    return d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    return d / xp.linalg.norm(d, axis=-1, keepdims=True)
 
 
-def _tri_hit(ro, rd, tri):
+def _tri_hit(ro, rd, tri, xp=jnp):
     """Möller-Trumbore both-sided test; ro [*,3], rd [*,3] broadcastable."""
-    v0, v1, v2 = (jnp.asarray(t) for t in tri)
+    v0, v1, v2 = (xp.asarray(t) for t in tri)
     e1 = v1 - v0
     e2 = v2 - v0
-    p = jnp.cross(rd, e2)
-    det = jnp.sum(e1 * p, axis=-1)
-    inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    p = xp.cross(rd, e2)
+    det = xp.sum(e1 * p, axis=-1)
+    inv = xp.where(xp.abs(det) > 1e-12, 1.0 / det, 0.0)
     s = ro - v0
-    u = jnp.sum(s * p, axis=-1) * inv
-    q = jnp.cross(s, e1)
-    v = jnp.sum(rd * q, axis=-1) * inv
-    t = jnp.sum(e2 * q, axis=-1) * inv
+    u = xp.sum(s * p, axis=-1) * inv
+    q = xp.cross(s, e1)
+    v = xp.sum(rd * q, axis=-1) * inv
+    t = xp.sum(e2 * q, axis=-1) * inv
     return (
-        (jnp.abs(det) > 1e-12)
+        (xp.abs(det) > 1e-12)
         & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > 1e-6)
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n_orgs",))
-def era(theta, phi, n_orgs: int = RAY_ORG_NUM):
+def era(theta, phi, n_orgs: int = RAY_ORG_NUM, xp=jnp):
     """ERA for arrays of angles: [A] -> [A] hit rates (HitTest role,
-    cpp:224-255).  One fused [A, O] evaluation."""
-    theta = jnp.atleast_1d(jnp.asarray(theta, jnp.float32))
-    phi = jnp.atleast_1d(jnp.asarray(phi, jnp.float32))
-    d = gen_ray(theta, phi)  # [A,3]
-    orgs = jnp.asarray(ray_origins(n_orgs))  # [O,3]
+    cpp:224-255).  One fused [A, O] evaluation.  Pass xp=np for a pure
+    host computation (table builds at trace time)."""
+    theta = xp.atleast_1d(xp.asarray(theta, xp.float32))
+    phi = xp.atleast_1d(xp.asarray(phi, xp.float32))
+    d = gen_ray(theta, phi, xp=xp)  # [A,3]
+    orgs = xp.asarray(ray_origins(n_orgs))  # [O,3]
     ro = orgs[None, :, :]  # [1,O,3]
     rd = d[:, None, :]  # [A,1,3]
     # Origins LIE on the front plane; nudge back along the ray so the
@@ -111,11 +113,11 @@ def era(theta, phi, n_orgs: int = RAY_ORG_NUM):
     # the surface and intersectTriangle accepts t>0 from the plane's
     # numeric jitter; the epsilon makes that robust in f32).
     ro = ro - rd * 1e-3
-    front = _tri_hit(ro, rd, FRONT)  # [A,O]
-    back = _tri_hit(ro, rd, BACK)
+    front = _tri_hit(ro, rd, FRONT, xp=xp)  # [A,O]
+    back = _tri_hit(ro, rd, BACK, xp=xp)
     n_front = front.sum(axis=-1)
     n_both = (front & back).sum(axis=-1)
-    return jnp.where(n_front > 0, n_both / jnp.maximum(n_front, 1), 0.0)
+    return xp.where(n_front > 0, n_both / xp.maximum(n_front, 1), 0.0)
 
 
 def era_table(steps: int = 40, n_orgs: int = RAY_ORG_NUM):

