@@ -176,7 +176,8 @@ def main(argv=None):
     elif args.integrator == "restir":
         from aten_tpu.integrator.restir import ReSTIRRenderer
 
-        r = ReSTIRRenderer(scene, cam)
+        r = ReSTIRRenderer(scene, cam, gi=True, max_depth=args.max_depth,
+                           rr_depth=args.rr_depth)
         for _ in range(args.spp):
             img = r.render_frame()
     elif args.integrator == "ao":

@@ -1,5 +1,6 @@
-"""ReSTIR — reservoir spatiotemporal importance resampling for direct
-lighting.
+"""ReSTIR — reservoir spatiotemporal importance resampling: reservoir
+direct lighting at the primary hit composed with standard PT bounces
+(full GI, restir_gi_sample) or standalone (restir_direct_sample).
 
 Counterpart of the reference ReSTIR core (src/libaten/renderer/restir/
 restir_types.h:9-76 `Reservoir` {w_sum, M, y, W, target_pdf_of_y} with
@@ -59,7 +60,7 @@ def _empty_reservoir(N, vz):
     }
 
 
-def _eval_candidate(mat, p, ns, wo, y):
+def _eval_candidate(mat, p, ns, wo, y, used=None):
     """Re-evaluate a stored light sample at a surface. Returns
     (contrib_rgb, target, wi, dist)."""
     n = brdf_mod.orient_normal(ns, wo)
@@ -72,7 +73,7 @@ def _eval_candidate(mat, p, ns, wo, y):
         is_inf[..., None], -y["l_nml"], to_l / jnp.maximum(dist[..., None], 1e-12)
     )
     cos_s = jnp.maximum(vm.dot(n, wi, keepdims=False), 0.0)
-    f = brdf_mod.eval_bsdf(mat, ns, wo, wi)
+    f = brdf_mod.eval_bsdf(mat, ns, wo, wi, used=used)
     d2 = jnp.maximum(dist * dist, 1e-8)
     cos_l = jnp.maximum(vm.dot(y["l_nml"], -wi, keepdims=False), 0.0)
     geom = jnp.where(
@@ -185,24 +186,16 @@ def _reproject_prev_pixel(prev_cam, p, width, height):
     return idx, ok
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height"))
-def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
-    """One frame of ReSTIR direct lighting. Returns (image, new state)."""
+def _direct_core(scene, cam_arrays, width, height, state, st,
+                 ro, rd, hit, h, mat):
+    """ReSTIR direct-lighting core at a batch of primary hits: initial
+    candidates -> visibility -> temporal reuse -> spatial reuse -> shade.
+    Shared verbatim by the direct renderer and the GI composition so the
+    direct pass's sample streams (and its pinned golden) are unchanged.
+    Returns (color [N,3], reservoir, new_state, sampler_state)."""
     N = width * height
     num_lights = scene["num_lights"]
     pix = jnp.arange(N, dtype=jnp.uint32)
-    px = (pix % width).astype(jnp.float32)
-    py = (pix // width).astype(jnp.float32)
-    pixel_seed = smp.wang_hash(pix + jnp.uint32(1))
-    st = smp.make_state(pixel_seed, frame, 0, 1, bounce=0)
-    ju, jv, st = smp.next_2d(st)
-    s = (px + ju) / width
-    t = (jnp.float32(height - 1) - py + jv) / height
-    ro, rd = cam_mod.generate_ray(cam_arrays, s, t)
-
-    hit = traverse(scene, ro, rd)
-    h = eval_hit(scene, ro, rd, hit)
-    mat = gather_material(scene["materials"], h["mtl"])
     wo = -rd
     n_or = brdf_mod.orient_normal(h["ns"], wo)
     is_emis = mat["type"] == MaterialType.EMISSIVE
@@ -343,26 +336,208 @@ def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
         "mesh": h["mesh"],
         "cam": {k: cam_arrays[k] for k in ("origin", "right", "up", "forward")},
     }
+    return color, r, new_state, st
+
+
+def _primary_rays(cam_arrays, width, height, frame):
+    N = width * height
+    pix = jnp.arange(N, dtype=jnp.uint32)
+    px = (pix % width).astype(jnp.float32)
+    py = (pix // width).astype(jnp.float32)
+    pixel_seed = smp.wang_hash(pix + jnp.uint32(1))
+    st = smp.make_state(pixel_seed, frame, 0, 1, bounce=0)
+    ju, jv, st = smp.next_2d(st)
+    s = (px + ju) / width
+    t = (jnp.float32(height - 1) - py + jv) / height
+    ro, rd = cam_mod.generate_ray(cam_arrays, s, t)
+    return ro, rd, st, pixel_seed
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height"))
+def restir_direct_sample(scene, cam_arrays, width, height, frame, state):
+    """One frame of ReSTIR direct lighting. Returns (image, new state)."""
+    ro, rd, st, _ = _primary_rays(cam_arrays, width, height, frame)
+    hit = traverse(scene, ro, rd)
+    h = eval_hit(scene, ro, rd, hit)
+    mat = gather_material(scene["materials"], h["mtl"])
+    color, _, new_state, _ = _direct_core(
+        scene, cam_arrays, width, height, state, st, ro, rd, hit, h, mat
+    )
     return color.reshape(height, width, 3), new_state
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "height", "max_depth", "rr_depth")
+)
+def restir_gi_sample(scene, cam_arrays, width, height, frame, state,
+                     max_depth=5, rr_depth=3):
+    """One frame of the FULL ReSTIR renderer: reservoir direct lighting
+    at bounce 0 composed with standard PT shading for bounces >= 1,
+    gathered into one image — the reference renderer's output semantics
+    (libidaten/restir/restir.cpp:47-128: OnShadeReSTIR at bounce 0,
+    standard shade + hitShadowRay beyond).  Returns (image, new state).
+
+    MIS note: as in the reference, implicit emitter hits on the BRDF
+    continuation keep the standard balance-heuristic weight (the
+    reservoir plays NEE's role in the weight), so bright lights aren't
+    double counted between the reservoir and the bounce-1 BRDF leg.
+    """
+    from aten_tpu.accel.traverse import traverse_sorted
+
+    N = width * height
+    ro, rd, st, pixel_seed = _primary_rays(cam_arrays, width, height, frame)
+    hit = traverse(scene, ro, rd)
+    h = eval_hit(scene, ro, rd, hit)
+    mat = gather_material(scene["materials"], h["mtl"])
+
+    # ---- bounce 0: reservoir direct (+ emissive/bg, inside the core)
+    color, r, new_state, st = _direct_core(
+        scene, cam_arrays, width, height, state, st, ro, rd, hit, h, mat
+    )
+
+    # ---- bounce 0 continuation: BRDF sample at the primary hit
+    wo = -rd
+    used = scene.get("used_mtl_types")
+    is_emis = mat["type"] == MaterialType.EMISSIVE
+    alive = hit["hit"] & ~is_emis
+    u1, u2, st = smp.next_2d(st)
+    u3, st = smp.next_1d(st)
+    samp = brdf_mod.sample_brdf(mat, h["ns"], wo, u1, u2, u3, used=used)
+    n_or0 = brdf_mod.orient_normal(h["ns"], wo)
+    cos_wi = jnp.abs(vm.dot(n_or0, samp["wi"], keepdims=False))
+    good = (samp["pdf"] > 1e-9) & (cos_wi > 1e-9)
+    pdf_det = jax.lax.stop_gradient(jnp.maximum(samp["pdf"], 1e-9))
+    throughput = jnp.where(
+        (alive & good)[..., None],
+        samp["bsdf"] * (cos_wi / pdf_det)[..., None],
+        0.0,
+    )
+    alive = alive & good
+    off_n = jnp.where(samp["transmission"][..., None], -n_or0, n_or0)
+    ro_b = jax.lax.stop_gradient(h["p"] + off_n * 1e-3)
+    rd_b = jax.lax.stop_gradient(samp["wi"])
+    pdf_prev = samp["pdf"]
+    prev_singular = samp["singular"]
+
+    # ---- bounces >= 1: standard NEE path tracing (pathtracer semantics)
+    occluded_fn = lambda o, d, dist: occluded(scene, o, d, dist)
+    radiance = jnp.zeros((N, 3), jnp.float32)
+
+    def bounce_body(carry, bounce):
+        ro, rd, throughput, radiance, alive, pdf_prev, prev_singular = carry
+        hit = traverse_sorted(scene, ro, rd,
+                              t_max=jnp.where(alive, vm.INF, 0.0))
+        h = eval_hit(scene, ro, rd, hit)
+        mat = gather_material(scene["materials"], h["mtl"])
+        from aten_tpu.scene import textures as tex_mod
+
+        mat = tex_mod.apply_albedo(scene, mat, h["uv"])
+
+        miss = alive & ~hit["hit"]
+        if scene.get("envmap") is not None:
+            from aten_tpu.scene.envmap import eval_env
+
+            le_bg = eval_env(scene, rd)
+            w_bg = nee.env_miss_weight(scene, rd, pdf_prev, prev_singular)
+        else:
+            le_bg = scene["bg"]
+            w_bg = jnp.ones((N,), jnp.float32)
+        radiance = radiance + jnp.where(
+            miss[..., None], throughput * le_bg * w_bg[..., None], 0.0
+        )
+
+        state = smp.make_state(pixel_seed, frame, 0, 1, bounce=bounce + 1)
+        is_emis = mat["type"] == MaterialType.EMISSIVE
+        cos_l = vm.dot(h["ng"], -rd, keepdims=False)
+        w_imp = nee.implicit_light_weight(
+            scene, h["light"], pdf_prev, prev_singular, hit["t"], cos_l
+        )
+        w_imp = jnp.where(h["light"] >= 0, w_imp, 1.0)
+        radiance = radiance + jnp.where(
+            (alive & hit["hit"] & is_emis & (cos_l > 0))[..., None],
+            throughput * mat["base_color"] * w_imp[..., None], 0.0,
+        )
+        alive = alive & hit["hit"] & ~is_emis
+
+        wo = -rd
+        occ = lambda o, d, dist, a=alive: occluded_fn(
+            o, d, jnp.where(a, dist, 0.0))
+        contrib, state = nee.nee_contribution(
+            scene, mat, h["p"], h["ns"], wo, state, occ, used=used
+        )
+        is_sing = (mat["type"] == MaterialType.SPECULAR) | (
+            mat["type"] == MaterialType.REFRACTION
+        )
+        radiance = radiance + jnp.where(
+            (alive & ~is_sing)[..., None], throughput * contrib, 0.0
+        )
+
+        u_rr, state = smp.next_1d(state)
+        rr_on = bounce >= rr_depth
+        rr_p = jnp.where(
+            rr_on, jnp.clip(jnp.max(throughput, axis=-1), 0.01, 0.95), 1.0
+        )
+        rr_p = jax.lax.stop_gradient(rr_p)
+        alive = alive & (u_rr < rr_p)
+        throughput = throughput / rr_p[..., None]
+
+        u1, u2, state = smp.next_2d(state)
+        u3, state = smp.next_1d(state)
+        samp = brdf_mod.sample_brdf(mat, h["ns"], wo, u1, u2, u3, used=used)
+        n_or = brdf_mod.orient_normal(h["ns"], wo)
+        cos_wi = jnp.abs(vm.dot(n_or, samp["wi"], keepdims=False))
+        good = (samp["pdf"] > 1e-9) & (cos_wi > 1e-9)
+        pdf_det = jax.lax.stop_gradient(jnp.maximum(samp["pdf"], 1e-9))
+        throughput = jnp.where(
+            (alive & good)[..., None],
+            throughput * samp["bsdf"] * (cos_wi / pdf_det)[..., None],
+            throughput,
+        )
+        alive = alive & good
+        off_n = jnp.where(samp["transmission"][..., None], -n_or, n_or)
+        ro = jax.lax.stop_gradient(h["p"] + off_n * 1e-3)
+        rd = jax.lax.stop_gradient(samp["wi"])
+        return (ro, rd, throughput, radiance, alive, samp["pdf"],
+                samp["singular"]), None
+
+    carry = (ro_b, rd_b, throughput, radiance, alive, pdf_prev, prev_singular)
+    carry, _ = jax.lax.scan(
+        bounce_body, carry, jnp.arange(1, max_depth, dtype=jnp.uint32)
+    )
+    indirect = carry[3]
+    bad = ~jnp.all(jnp.isfinite(indirect), axis=-1) | jnp.any(indirect < 0, axis=-1)
+    indirect = jnp.where(bad[..., None], 0.0, indirect)
+    total = color + indirect
+    return total.reshape(height, width, 3), new_state
 
 
 class ReSTIRRenderer:
     """Counterpart of ReSTIRRenderer / idaten::ReSTIRPathTracing
-    (restir/restir.cpp:570, libidaten/restir/restir.cpp:47). Direct
-    lighting only (the reference applies ReSTIR at bounce 0 and standard
-    PT beyond; combine with a PT indirect pass for full GI)."""
+    (restir/restir.cpp:570, libidaten/restir/restir.cpp:47): reservoir
+    direct lighting at bounce 0 + standard PT for bounces >= 1 (full
+    GI).  Set gi=False for the direct-lighting-only debug mode."""
 
-    def __init__(self, scene, cam):
+    def __init__(self, scene, cam, gi=True, max_depth=5, rr_depth=3):
         self.scene = scene
         self.cam = cam
         self.cam_arrays = cam.arrays()
         self.state = init_state(cam.height, cam.width)
         self.frame = 0
+        self.gi = gi
+        self.max_depth = max_depth
+        self.rr_depth = rr_depth
 
     def render_frame(self):
-        img, self.state = restir_direct_sample(
-            self.scene, self.cam_arrays, self.cam.width, self.cam.height,
-            jnp.uint32(self.frame), self.state,
-        )
+        if self.gi:
+            img, self.state = restir_gi_sample(
+                self.scene, self.cam_arrays, self.cam.width, self.cam.height,
+                jnp.uint32(self.frame), self.state,
+                max_depth=self.max_depth, rr_depth=self.rr_depth,
+            )
+        else:
+            img, self.state = restir_direct_sample(
+                self.scene, self.cam_arrays, self.cam.width, self.cam.height,
+                jnp.uint32(self.frame), self.state,
+            )
         self.frame += 1
         return img

@@ -135,3 +135,40 @@ def test_temporal_acceptance_rejects_mismatched_history():
     # accepted history accumulates M well beyond the no-history run
     # (spatial reuse still merges neighbors in both, so compare means)
     assert m_with[sh].mean() > 1.5 * m_without[sh].mean()
+
+
+def test_restir_gi_matches_pt_on_diffuse_scene():
+    """GI consistency (VERDICT r3 #5): the full ReSTIR renderer (bounce-0
+    reservoir direct + PT bounces >= 1) must converge to the plain PT
+    image on a diffuse scene as reservoirs accumulate — same transport,
+    different direct-lighting estimator."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from aten_tpu.integrator import restir
+    from aten_tpu.integrator.pathtracer import render_image
+    from aten_tpu.scene.scenedefs import cornell_box
+
+    W = H = 24
+    scene, cam = cornell_box(W, H, use_spheres=False)
+    ca = cam.arrays()
+
+    pt = np.asarray(render_image(scene, cam, spp=64, max_depth=3))
+
+    st = restir.init_state(H, W)
+    acc = np.zeros((H, W, 3), np.float32)
+    F = 24
+    for f in range(F):
+        img, st = restir.restir_gi_sample(
+            scene, ca, W, H, jnp.uint32(f), st, max_depth=3, rr_depth=2)
+        acc += np.asarray(img)
+    gi = acc / F
+
+    # overall energy agrees; per-pixel agreement bounded by MC noise of
+    # both estimators at these sample counts
+    assert abs(gi.mean() - pt.mean()) / max(pt.mean(), 1e-6) < 0.1, (
+        gi.mean(), pt.mean())
+    # bright (lit) pixel population matches, not just the global mean
+    lit = pt.mean(axis=-1) > np.percentile(pt.mean(axis=-1), 60)
+    assert abs(gi.mean(axis=-1)[lit].mean() - pt.mean(axis=-1)[lit].mean()) \
+        / pt.mean(axis=-1)[lit].mean() < 0.12
