@@ -164,8 +164,18 @@ def render_tiled(
 # entry is "<group>.<field>" over the scene pytree: material-table
 # fields, light-table fields (le / pos), or the texture atlas
 # ("textures.tex_stack") — the three north-star parameter classes
-# (BASELINE.md).  Bare names mean materials.<name>.
-TRAINABLE_FIELDS = ("base_color",)
+# (BASELINE.md).  Bare names mean materials.<name>.  Fields absent from
+# a scene (no textures / no lights) are skipped at step-build time.
+TRAINABLE_FIELDS = ("base_color", "textures.tex_stack", "lights.le")
+
+
+def _has_param(scene, spec):
+    group, _, field = spec.partition(".")
+    if not field:
+        group, field = "materials", group
+    if group == "textures":
+        return field in scene
+    return group in scene and field in scene[group]
 
 
 def _get_param(scene, spec):
@@ -210,6 +220,7 @@ def make_train_step(
         n *= mesh.shape[a]
     assert height % n == 0
     tile_h = height // n
+    fields = tuple(fields)  # resolved per scene in tile_step via _has_param
 
     def loss_fn(params, scene, cam_arrays, target_tile, y0, frame):
         scene2 = _set_params(scene, params)
@@ -223,7 +234,8 @@ def make_train_step(
     def tile_step(scene, cam_arrays, target_tile, frame):
         d = _flat_device_index(mesh, axes)
         y0 = (d * tile_h).astype(jnp.int32)
-        mat_params = {k: _get_param(scene, k) for k in fields}
+        live = [k for k in fields if _has_param(scene, k)]
+        mat_params = {k: _get_param(scene, k) for k in live}
         loss, g = jax.value_and_grad(loss_fn)(
             mat_params, scene, cam_arrays, target_tile, y0, frame
         )
@@ -243,7 +255,7 @@ def make_train_step(
     def step(scene, cam_arrays, target, frame):
         loss, g = smapped(scene, cam_arrays, target, frame)
         new = {}
-        for k in fields:
+        for k in [k for k in fields if _has_param(scene, k)]:
             # RMS-normalized update: parameter scales differ by orders of
             # magnitude (wall albedo ~0.7 vs emitter radiance ~36), so raw
             # SGD with one lr collapses the scene; normalized steps move

@@ -33,6 +33,27 @@ BASELINES = {
     "cornell_512_primary_mrays_per_s": 1186.19,  # BENCH_r01 (async-protocol)
 }
 
+# Per-config history by round (BENCH_r02/BENCH_r03 values): every emit
+# also reports vs_prev = value / latest recorded round, so a regression
+# is visible in the JSON itself (VERDICT r3 weak #6: the r02->r03
+# Cornell/mtrl-zoo regressions sailed through unflagged).  For ms/frame
+# metrics LOWER is better; vs_prev is inverted there so >1 always means
+# "better than last round".
+HISTORY = {
+    #                      r02        r03
+    "trav_dragon_primary": (42.8526, 44.9211),
+    "trav_sponza_primary": (32.8772, 32.6371),
+    "cornell_100spp_mrays": (1.7602, 1.1845),
+    "mtrl_zoo_ibl_mrays": (0.6197, 0.5389),
+    "crytek_class_mrays": (0.1, 0.1598),
+    "sponza_svgf_1spp_ms": (1096.0272, 770.2587),
+    "restir_126lights_ms": (1239.6871, 1263.9813),
+    "hetero_volume_ms": (27473.6374, 27475.697),
+    "cornell_fwd_bwd_mrays": (5.0099, 5.0975),
+}
+LOWER_IS_BETTER = {"sponza_svgf_1spp_ms", "restir_126lights_ms",
+                   "hetero_volume_ms"}
+
 
 def traversal_path(scene):
     if scene["num_tris"] + scene["num_spheres"] <= 512:
@@ -55,6 +76,13 @@ def emit(metric, value, unit, rays_per_frame=None, note=None):
         "unit": unit,
         "vs_baseline": round(float(value) / base, 4) if base else 1.0,
     }
+    hist = HISTORY.get(metric)
+    if hist:
+        prev = hist[-1]
+        ratio = prev / value if metric in LOWER_IS_BETTER else value / prev
+        rec["vs_prev"] = round(float(ratio), 4)  # >1 = better than last round
+        if ratio < 0.9:
+            rec["regression"] = True
     if note:
         rec["note"] = note
     print(json.dumps(rec), flush=True)
@@ -308,6 +336,60 @@ def bench_fwd_bwd(results):
                              f"{sec*1e3:.0f} ms/step"))
 
 
+def bench_mesh(n):
+    """Multi-chip scaling harness (`bench.py --mesh N`): render_tiled +
+    train step over a 1..N-device mesh, reporting Mrays/s(-per-device)
+    and the N-vs-1 scaling ratio (BASELINE.md >=80% linear target).
+    Runs on real chips when N are present; otherwise the caller re-execs
+    onto a virtual N-device CPU mesh so the harness itself is validated
+    ahead of hardware (VERDICT r3 #8)."""
+    import jax
+
+    from aten_tpu.parallel.mesh import make_mesh, make_train_step, render_tiled
+    from aten_tpu.scene.scenedefs import cornell_box
+
+    backend = jax.default_backend()
+    W = H = 256
+    scene, cam = cornell_box(W, H)
+    ca = cam.arrays()
+    spp, depth = 4, 3
+    sizes = sorted({1, n} | {s for s in (2, 4) if s < n})
+    times = {}
+    for s in sizes:
+        if H % s:
+            continue
+        mesh = make_mesh(s)
+
+        @jax.jit
+        def frame(i, _mesh=mesh):
+            img = render_tiled(scene, ca, W, H, jnp.uint32(1), jnp.uint32(0),
+                               spp=spp, max_depth=depth, rr_depth=2,
+                               mesh=_mesh)
+            return img.reshape(-1)[0]
+
+        sec = time_seq(lambda i: frame(jnp.uint32(i)), n=2)
+        times[s] = sec
+        emit(f"mesh_render_{s}dev_mrays", W * H * spp / sec / 1e6, "Mrays/s",
+             note=f"cornell 256x256x{spp}spp depth{depth} render_tiled on "
+                  f"{s}-device {backend} mesh")
+    if 1 in times and n in times:
+        scaling = times[1] / times[n] / n
+        emit("mesh_render_scaling", scaling, f"x-linear@{n}dev",
+             note=f"(T1/TN)/N on {backend}; >=0.8 target on real chips")
+
+    mesh = make_mesh(n)
+    step = make_train_step(W, H, spp=2, max_depth=3, rr_depth=2, mesh=mesh)
+    target = jnp.zeros((H, W, 3), jnp.float32)
+
+    def train_frame(i):
+        loss, _ = step(scene, ca, target, jnp.uint32(i))
+        return loss
+
+    sec = time_seq(train_frame, n=2)
+    emit(f"mesh_train_{n}dev_ms", sec * 1e3, "ms/step",
+         note=f"fwd+bwd+psum train step on {n}-device {backend} mesh")
+
+
 def main():
     results = []
     for fn in (bench_traversal, bench_pt, bench_crytek_class,
@@ -329,4 +411,22 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+
+    if "--mesh" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--mesh") + 1])
+        forced = os.environ.get("ATEN_MESH_FORCED")
+        if forced:
+            # fresh process: force the virtual CPU mesh BEFORE backend init
+            jax.config.update("jax_platforms", "cpu")
+            jax.config.update("jax_num_cpu_devices", n)
+        if len(jax.devices()) < n and not forced:
+            # not enough real chips: re-exec onto a virtual CPU mesh
+            os.environ["ATEN_MESH_FORCED"] = "1"
+            os.execv(sys.executable,
+                     [sys.executable, os.path.abspath(__file__),
+                      "--mesh", str(n)])
+        bench_mesh(n)
+    else:
+        main()

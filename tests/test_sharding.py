@@ -94,3 +94,51 @@ def test_train_step_light_and_texture_fields():
     le1 = np.asarray(s2["lights"]["le"])
     # black target pulls the emitter DOWN
     assert le1[0].sum() < le0[0].sum()
+
+
+def test_train_step_default_fields_optimize_texture():
+    """Default TRAINABLE_FIELDS covers all three north-star classes
+    (materials + textures.tex_stack + lights.le, VERDICT r3 #7): a
+    perturbed albedo texture must move toward the target render through
+    the default-configured SPMD step."""
+    from aten_tpu.core.camera import PinholeCamera
+    from aten_tpu.parallel.mesh import TRAINABLE_FIELDS
+    from aten_tpu.scene.materials import MaterialType
+    from aten_tpu.scene.scene import SceneBuilder
+
+    assert "textures.tex_stack" in TRAINABLE_FIELDS
+    assert "lights.le" in TRAINABLE_FIELDS
+
+    def build():
+        b = SceneBuilder()
+        tex = np.full((4, 4, 3), 0.8, np.float32)
+        tid = b.add_texture(tex)
+        m = b.add_material(MaterialType.DIFFUSE, base_color=(1, 1, 1),
+                           albedo_map=tid)
+        emit = b.add_material(MaterialType.EMISSIVE, base_color=(6, 6, 6))
+        b.add_quad((-2, -2, 0), (2, -2, 0), (2, 2, 0), (-2, 2, 0), m)
+        ls, lc = b.add_quad((-1, -1, 3), (-1, 1, 3), (1, 1, 3), (1, -1, 3),
+                            emit)
+        b.add_area_light_tris(ls, lc, le=(6, 6, 6))
+        cam = PinholeCamera(origin=(0, 0, 2.0), lookat=(0, 0, 0),
+                            vfov_deg=60, width=16, height=16)
+        return b.build(), cam
+
+    W = H = 16
+    scene, cam = build()
+    ca = cam.arrays()
+    mesh = make_mesh(8)
+    target = np.asarray(
+        render_sample(scene, ca, W, H, jnp.uint32(0), jnp.uint32(0), 1, 2, 1))
+    dim = scene.replace(tex_stack=scene["tex_stack"] * 0.4)
+    step = make_train_step(W, H, spp=1, max_depth=2, rr_depth=1, mesh=mesh,
+                           lr=0.05)
+    losses = []
+    s = dim
+    for _ in range(4):
+        loss, s = step(s, ca, jnp.asarray(target), jnp.uint32(0))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    # the texture itself moved up toward the brighter target
+    assert float(s["tex_stack"].mean()) > float(dim["tex_stack"].mean())
