@@ -117,10 +117,11 @@ def _coord_key(i, j, k):
 
 
 def write_nvdb(path, density, bmin=(0, 0, 0), bmax=(1, 1, 1),
-               grid_name="density"):
-    """Write a dense [D,H,W] grid as an uncompressed NanoVDB float
-    FogVolume file (codec NONE) — the export side of the reference's
-    NanoVDB pipeline, and the fixture generator for the reader tests."""
+               grid_name="density", codec="none"):
+    """Write a dense [D,H,W] grid as a NanoVDB float FogVolume file —
+    the export side of the reference's NanoVDB pipeline, and the fixture
+    generator for the reader tests.  codec: "none" | "zip" (zlib, the
+    nanovdb::io::Codec::ZIP per-blob compression)."""
     density = np.asarray(density, np.float32)
     D, H, W = density.shape  # indexed [z, y, x] -> ijk = (x, y, z)
     bmin = np.asarray(bmin, np.float64)
@@ -280,17 +281,35 @@ def write_nvdb(path, density, bmin=(0, 0, 0), bmax=(1, 1, 1),
         vals = np.transpose(block, (2, 1, 0)).reshape(-1)
         buf[vb:vb + 4 * _LEAF_VOX] = vals.tobytes()
 
+    codec_id = {"none": 0, "zip": 1}[codec]
+    blob = bytes(buf)
+    if codec_id == 1:
+        import zlib
+
+        blob = zlib.compress(blob)
+
     with open(path, "wb") as f:
-        # file header + one FileMetaData record (segment layout of
-        # nanovdb::io::writeGrid): we keep metadata minimal — gridSize,
-        # fileSize, nameKey/voxelCount zeroed, name, then the blob.
-        f.write(struct.pack("<QIHH", NANOVDB_MAGIC, version, 1, 0))
+        # FileHeader {magic u64, version u32, gridCount u16, codec u16}
+        # + one FileMetaData record at the PUBLISHED v32.3 offsets
+        # (nanovdb/util/IO.h): gridSize@0 fileSize@8 nameKey@16
+        # voxelCount@24 gridType@32 gridClass@36 worldBBox@40
+        # indexBBox@88 voxelSize@112 nameSize@136 nodeCount[4]@140
+        # tileCount[3]@156 codec@168 version@172; then name, then blob.
+        f.write(struct.pack("<QIHH", NANOVDB_MAGIC, version, 1, codec_id))
         meta = bytearray(176)
-        struct.pack_into("<QQ", meta, 0, grid_size, grid_size)
-        struct.pack_into("<I", meta, 152, len(name) + 1)  # nameSize
+        struct.pack_into("<QQQQ", meta, 0, grid_size, len(blob), 0,
+                         int(np.count_nonzero(density)))
+        struct.pack_into("<II", meta, 32, _GRIDTYPE_FLOAT, _GRIDCLASS_FOG)
+        struct.pack_into("<6d", meta, 40, *bmin, *bmax)
+        struct.pack_into("<6i", meta, 88, 0, 0, 0, nx - 1, ny - 1, nz - 1)
+        struct.pack_into("<3d", meta, 112, *vox)
+        struct.pack_into("<I", meta, 136, len(name) + 1)  # nameSize
+        struct.pack_into("<4I", meta, 140, n_leaf, n_lower, n_upper, 1)
+        struct.pack_into("<HH", meta, 168, codec_id, 0)
+        struct.pack_into("<I", meta, 172, version)
         f.write(bytes(meta))
         f.write(name + b"\0")
-        f.write(bytes(buf))
+        f.write(blob)
 
 
 def load_nvdb_dense(path, max_dim=256):
@@ -304,19 +323,33 @@ def load_nvdb_dense(path, max_dim=256):
     the walk.  Raises for compressed files or non-float grids.
     """
     hdr = read_nvdb_header(path)
-    if hdr["codec"] != 0:
+    if hdr["codec"] not in (0, 1):
         raise ValueError(
-            "compressed NanoVDB (codec != NONE) unsupported; re-export "
-            "with codec NONE or convert offline to .npz via save_grid()"
+            "unsupported NanoVDB codec (only NONE and ZIP); convert "
+            "offline to .npz via save_grid()"
         )
     with open(path, "rb") as f:
         data = f.read()
-    # skip file header + FileMetaData + name to the grid blob: find the
-    # embedded GridData by its magic (it repeats the file magic).
-    blob = data.find(struct.pack("<Q", NANOVDB_MAGIC), 8)
-    if blob < 0:
-        raise ValueError("no grid blob found")
-    g = memoryview(data)[blob:]
+    # Segment parse at the published FileMetaData offsets (IO.h v32.3):
+    # fileSize@8 = stored blob bytes, nameSize@136; blob follows name.
+    file_size = struct.unpack_from("<Q", data, 16 + 8)[0]
+    name_size = struct.unpack_from("<I", data, 16 + 136)[0]
+    blob_start = 16 + 176 + name_size
+    if hdr["codec"] == 1:
+        import zlib
+
+        g = memoryview(zlib.decompress(
+            data[blob_start:blob_start + file_size]))
+    elif (blob_start + 8 <= len(data) and
+          struct.unpack_from("<Q", data, blob_start)[0] == NANOVDB_MAGIC):
+        g = memoryview(data)[blob_start:]
+    else:
+        # legacy fallback (files written before the meta fix): locate the
+        # GridData blob by its repeated magic
+        blob = data.find(struct.pack("<Q", NANOVDB_MAGIC), 8)
+        if blob < 0:
+            raise ValueError("no grid blob found")
+        g = memoryview(data)[blob:]
 
     grid_size = struct.unpack_from("<Q", g, 32)[0]
     grid_type = struct.unpack_from("<I", g, 636)[0]
