@@ -412,8 +412,18 @@ def traverse_sorted(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4,
         | ((rd[:, 1] >= 0).astype(jnp.uint32) << 1)
         | ((rd[:, 2] >= 0).astype(jnp.uint32) << 2)
     )
-    # octant-major, origin-locality minor
-    key = (octant << 29) | (morton >> 1)
+    # dead-major, octant, then origin locality: dead lanes (t_max that
+    # can never hit) pack into all-dead tiles whose root vote fails on
+    # the FIRST step, so the kernel skips them entirely — by depth 4-5
+    # half the wavefront is dead and this halves the tiles walked.
+    if t_max is None:
+        dead = jnp.zeros(ro.shape[0], jnp.uint32)
+    else:
+        dead = (
+            jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ro.shape[0],))
+            <= t_min
+        ).astype(jnp.uint32)
+    key = (dead << 31) | (octant << 28) | (morton >> 2)
     perm = jnp.argsort(key)
     t_max_p = None
     if t_max is not None:

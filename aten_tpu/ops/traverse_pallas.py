@@ -324,6 +324,9 @@ import os as _os
 
 _ENV_KERNEL = _os.environ.get("ATEN_TPU_KERNEL", "v3")
 _ENV_CHAINS = int(_os.environ.get("ATEN_TPU_CHAINS", "4"))
+# v3 treelet walk tile height (rays per walk = rows*128); 16 measured
+# +27% over 8 on dragon primaries (see _make_treelet_kernel docstring)
+_ENV_TILE_ROWS = int(_os.environ.get("ATEN_TPU_TILE_ROWS", "16"))
 PACK = 8          # prims per 128-lane row (16 lanes each)
 TRL_ROWS = TREELET_MAX // PACK  # rows per fixed-size leaf DMA
 CHUNK = 64  # prim rows per DMA piece (32 KB) — legacy tt_ kernel only
@@ -662,11 +665,16 @@ def _select_links(irow, o):
 
 def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
                          resident: bool = False, has_lod: bool = False,
-                         stats: bool = False):
+                         stats: bool = False, tile_rows: int = ROWS):
     """resident=True: the packed prim pool lives in VMEM and fat leaves
     read it directly (no DMA at all) — chosen when the scene fits; the
     streamed variant (prims in HBM, pipelined fixed-window copies) is the
     fallback for scenes beyond VMEM.
+
+    tile_rows: rays per walk = tile_rows*128.  16 rows (2048 rays)
+    measured 57.7 vs 45.3 Mrays/s at 8 rows on dragon primaries (v5e):
+    the ~330 ns serial node-step latency amortizes over twice the rays
+    while the visited-node union grows slower than 2x.
 
     (A shared-origin variant that moved tv and both Möller-Trumbore
     cross products to the scalar core was tried and measured SLOWER —
@@ -767,7 +775,7 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             return (t, prim)
 
         t_init = t0_ref[:]
-        prim0 = _seed_dead(jnp.full((ROWS, LANES), -1, jnp.int32),
+        prim0 = _seed_dead(jnp.full((tile_rows, LANES), -1, jnp.int32),
                            t_init, any_hit, t_min)
 
         def cond(c):
@@ -864,8 +872,8 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
         tout_ref[:] = t
         pout_ref[:] = prim
         if stats:
-            sout_ref[:] = jnp.full((ROWS, LANES), ns, jnp.int32)
-            lout_ref[:] = jnp.full((ROWS, LANES), lr, jnp.int32)
+            sout_ref[:] = jnp.full((tile_rows, LANES), ns, jnp.int32)
+            lout_ref[:] = jnp.full((tile_rows, LANES), lr, jnp.int32)
 
     return kernel
 
@@ -873,15 +881,17 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("any_hit", "t_min", "has_spheres", "resident", "has_lod",
-                     "stats"),
+                     "stats", "tile_rows"),
 )
 def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
                             any_hit=False, t_min=1e-4, has_spheres=True,
-                            resident=False, has_lod=False, stats=False):
-    g = rox.shape[0] // ROWS
+                            resident=False, has_lod=False, stats=False,
+                            tile_rows=ROWS):
+    g = rox.shape[0] // tile_rows
     kernel = _make_treelet_kernel(any_hit, float(t_min), has_spheres, resident,
-                                  has_lod, stats)
-    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                                  has_lod, stats, tile_rows)
+    ray_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(rox.shape, jnp.float32),
         jax.ShapeDtypeStruct(rox.shape, jnp.int32),
@@ -1635,8 +1645,12 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     # (advisor r3) — the scope is "process", read once at import.
     kern = _ENV_KERNEL
     chains = _ENV_CHAINS
-    quantum = TILE * (chains if ("pl_nodes" not in scene and kern == "smt")
-                      else 1)
+    if "pl_nodes" in scene:
+        quantum = TILE
+    elif kern == "smt":
+        quantum = TILE * chains
+    else:
+        quantum = _ENV_TILE_ROWS * LANES
     Np = -(-N // quantum) * quantum
     padn = Np - N
 
@@ -1680,6 +1694,7 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
             kw["chains"] = chains
         else:
             impl_fn = _traverse_treelet_tiles
+            kw["tile_rows"] = _ENV_TILE_ROWS
         t, prim = impl_fn(
             scene["trl_nodes"], scene["trl_prims"],
             rox, roy, roz, rdx, rdy, rdz, t0p, **kw,

@@ -375,6 +375,20 @@ class SceneBuilder:
                 bvh = build_bvh(all_bmin, all_bmax)
 
         tri_areas = tarea[:num_tris] if num_tris else np.zeros(0, np.float32)
+        # Packed per-triangle attribute rows for eval_hit: above the MXU
+        # one-hot gather limit, 11 separate per-field takes cost ~2.5x
+        # one [T,24] row take (measured at 1M lanes on v5e); ids are
+        # exact in f32 (< 2^24).
+        T_rows = tv0.shape[0]
+        tri_attr = None
+        if num_tris > 2048:
+            tri_attr = np.concatenate([
+                tn0, tn1, tn2, te1, te2,
+                tuv0, tuv1, tuv2,
+                tmtl.astype(np.float32)[:, None],
+                tlight.astype(np.float32)[:, None],
+                tmesh.astype(np.float32)[:, None],
+            ], axis=1).astype(np.float32)
         arrays = {
             "tri_v0": jnp.asarray(tv0),
             "tri_e1": jnp.asarray(te1),
@@ -397,6 +411,8 @@ class SceneBuilder:
             "lights": self.lights.arrays(tri_areas),
             "bg": jnp.asarray(self._bg, jnp.float32),
         }
+        if tri_attr is not None:
+            arrays["tri_attr"] = jnp.asarray(tri_attr)
         for k, v in bvh.items():
             arrays[k] = jnp.asarray(v)
         # Pallas tile-traversal layout (VMEM structure-of-rows); only for
@@ -439,6 +455,15 @@ class SceneBuilder:
             # any stencil-tagged material enables the bounce-0 stencil
             # punch-through pre-pass (CheckStencil role)
             "has_stencil": any(r["stencil"] != 0.0 for r in self.materials.rows),
+            # static per-map presence: a texture fetch is ~6 gathers per
+            # map per bounce at wavefront width — skip maps NO material
+            # carries (measured ~24 ms/map/bounce at 1M lanes on v5e)
+            "has_albedo_maps": any(
+                r.get("albedo_map", -1) >= 0 for r in self.materials.rows),
+            "has_roughness_maps": any(
+                r.get("roughness_map", -1) >= 0 for r in self.materials.rows),
+            "has_normal_maps": any(
+                r.get("normal_map", -1) >= 0 for r in self.materials.rows),
             # static used-material-type set: jit prunes absent BRDF
             # families from the shading dispatch (shading/brdf._need)
             "used_mtl_types": tuple(sorted(

@@ -163,8 +163,8 @@ def footprint_lod(tex, tex_id, t, pixel_spread):
 def apply_albedo(scene, mat, uv):
     """Multiply sampled albedo maps into base_color (shade-time fetch,
     the reference does this inside shade via sampleTexture)."""
-    if "tex_stack" not in scene:
-        return mat
+    if "tex_stack" not in scene or not scene.get("has_albedo_maps", True):
+        return mat  # consumers default tex_alpha to 1 via .get
     rgba = sample_texture(
         scene, mat["albedo_map"], uv[..., 0], uv[..., 1], default=1.0
     )
@@ -176,7 +176,7 @@ def apply_albedo(scene, mat, uv):
 
 def apply_normal_map(scene, mat, ns, uv):
     """Tangent-space normal perturbation (sample_texture.h:63-90 role)."""
-    if "tex_stack" not in scene:
+    if "tex_stack" not in scene or not scene.get("has_normal_maps", True):
         return ns
     rgba = sample_texture(
         scene, mat["normal_map"], uv[..., 0], uv[..., 1], default=0.5
@@ -191,7 +191,7 @@ def apply_normal_map(scene, mat, ns, uv):
 
 
 def apply_roughness_map(scene, mat, uv):
-    if "tex_stack" not in scene:
+    if "tex_stack" not in scene or not scene.get("has_roughness_maps", True):
         return mat
     rgba = sample_texture(
         scene, mat["roughness_map"], uv[..., 0], uv[..., 1], default=1.0

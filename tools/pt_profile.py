@@ -35,8 +35,10 @@ def main():
     from aten_tpu.core import sampler as smp
 
     W = H = 512
-    scene, cam = getattr(scenedefs, f"{which}_scene", None) or (None, None)
-    if scene is None:
+    mk = getattr(scenedefs, f"{which}_scene", None)
+    if mk is not None:
+        scene, cam = mk(W, H)
+    else:
         from aten_tpu.scene.scenedefs import cornell_box
 
         scene, cam = cornell_box(W, H)
