@@ -293,6 +293,24 @@ def bench_restir(results):
                              f"({W*H/sec/1e6:.1f} Mrays/s primary), "
                              f"path={traversal_path(scene)}"))
 
+    # full ReSTIR GI (reservoir direct + PT bounces, the reference
+    # renderer's output semantics — 1spp/5bounces gallery config)
+    @jax.jit
+    def frame_gi(i, state):
+        img, state = restir.restir_gi_sample(
+            scene, ca, W, H, jnp.uint32(1) + i, state, max_depth=5,
+            rr_depth=3)
+        return img.reshape(-1)[0], state
+
+    def frame_scalar_gi(i):
+        return frame_gi(jnp.uint32(i), state0)[0]
+
+    sec = time_seq(frame_scalar_gi, n=3)
+    results.append(emit("restir_gi_126lights_ms", sec * 1e3, "ms/frame",
+                        note=f"512x512 ReSTIR GI 1spp depth5, 126 lights "
+                             f"({W*H/sec/1e6:.1f} Mrays/s primary), "
+                             f"path={traversal_path(scene)}"))
+
 
 def bench_volume(results):
     from aten_tpu.integrator.volpt import render_volpt_sample

@@ -589,8 +589,6 @@ def run_spec(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0, tile_rows=8):
     )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
 
 
-if __name__ == "__main__":
-    main()
 
 
 # ---------------------------------------------------------------------------
@@ -804,201 +802,3 @@ def run_plk(nodes, emat, pids, rox, roy, roz, rdx, rdy, rdz, t0,
 
 if __name__ == "__main__":
     main()
-
-
-# ---------------------------------------------------------------------------
-# plk: Plücker/MXU leaf phase.
-#
-# Möller-Trumbore per prim slot is ~40 VPU ops; at wide tiles the drain
-# dominates.  The inside-triangle test is 3 Plücker side signs, each a
-# 6-dot of (rd, ro x rd) against a per-EDGE constant 6-vector, and
-# t = (d - n.ro)/(n.rd) — ALL bilinear forms, so one MXU matmul computes
-# every (ray, prim) pair: S[3P+2P rows, 6] @ R6^T[6, TILE].
-# ---------------------------------------------------------------------------
-
-
-def build_plucker_leaves(scene, num_tris):
-    """Per-treelet Plücker matrices from the packed trl prim rows.
-
-    Returns (E [Ntrl, 8, 5*PADP] f32, meta) where E rows are the 6-vector
-    constants (padded to 8 sublanes) and columns are 5 planes per prim:
-    3 edge-sides + (n, -n.v0 -> t numerator via [n, d] . [ro, 1]) ... we
-    store: edge sides e0,e1,e2 cols (6-vec), n col (3 + d in row 3),
-    pid col (row 0).  Layout contract documented in the kernel.
-    """
-    import numpy as np
-
-    nodes = np.asarray(scene["trl_nodes"])
-    prims = np.asarray(scene["trl_prims"])
-    ints = nodes[:, 6:21].view(np.int32)
-    starts = ints[:, 12]
-    counts = ints[:, 13]
-    sel = (starts >= 0) & (counts > 0)
-    tre_ids = np.nonzero(sel)[0]
-    P = TRL_ROWS * PACK  # 64 prim slots per treelet
-    NT = len(tre_ids)
-    # E layout: [NT, 8, 4*P]: col groups [e0|e1|e2|plane] each P wide;
-    # rows 0..5 = the 6-vector (d_e ; m_e) for edges, rows 0..3 = (n; d)
-    # for the plane group; row 6 of plane group = pid (bitcast int).
-    E = np.zeros((NT, 8, 4 * P), np.float32)
-    pidtab = np.full((NT, P), -1, np.int32)
-    for k, n in enumerate(tre_ids):
-        s, c = int(starts[n]), int(counts[n])
-        for j in range(c):
-            row = prims[s + j // PACK]
-            b = 16 * (j % PACK)
-            v0 = row[b:b + 3].astype(np.float64)
-            e1 = row[b + 3:b + 6].astype(np.float64)
-            e2 = row[b + 6:b + 9].astype(np.float64)
-            pid = row[b + 9:b + 10].view(np.int32)[0]
-            A, B, C3 = v0, v0 + e1, v0 + e2
-            for ei, (a, bb) in enumerate(((A, B), (B, C3), (C3, A))):
-                d_e = bb - a
-                m_e = np.cross(a, bb)
-                # side(ray; edge) = rd . m_e + (ro x rd) . d_e
-                E[k, 0:3, ei * P + j] = m_e
-                E[k, 3:6, ei * P + j] = d_e
-            nrm = np.cross(e1, e2)
-            E[k, 0:3, 3 * P + j] = nrm
-            E[k, 3, 3 * P + j] = -np.dot(nrm, v0)
-            pidtab[k, j] = pid
-    # node -> treelet index (dense remap for lane 21)
-    remap = np.full(nodes.shape[0], -1, np.int32)
-    remap[tre_ids] = np.arange(NT, dtype=np.int32)
-    # rewrite node rows: lane 21 carries the treelet id
-    nodes2 = nodes.copy()
-    i21 = np.zeros((nodes.shape[0], 1), np.int32)
-    i21[:, 0] = remap
-    nodes2[:, 21:22] = i21.view(np.float32)
-    return nodes2, E.reshape(NT * 8, 4 * P), jnp.asarray(pidtab)
-
-
-def make_plk_kernel(tile_rows, n_prim=TRL_ROWS * PACK):
-    P = n_prim
-
-    def kernel(nodes_ref, emat_ref, pid_ref,
-               rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref,
-               t0_ref, tout_ref, pout_ref):
-        rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
-        rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
-
-        def safe_inv(d):
-            return jnp.where(jnp.abs(d) > 1e-12,
-                             1.0 / jnp.where(d == 0, 1.0, d), 1e12)
-
-        ivx, ivy, ivz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
-        ordv = _pick_ordering(rdx, rdy, rdz)
-        t_init = t0_ref[:]
-        prim0 = jnp.full((tile_rows, LANES), -1, jnp.int32)
-        # ray 6-vector, flattened tile-major: [8 sublanes, tile] where
-        # rows 0..5 = (rd ; ro x rd), row 6 = 1 (for d), row 7 = 0
-        mx = roy * rdz - roz * rdy
-        my = roz * rdx - rox * rdz
-        mz = rox * rdy - roy * rdx
-        N = tile_rows * LANES
-        R6 = jnp.concatenate([
-            rdx.reshape(1, N), rdy.reshape(1, N), rdz.reshape(1, N),
-            mx.reshape(1, N), my.reshape(1, N), mz.reshape(1, N),
-            jnp.zeros((2, N), jnp.float32),
-        ], axis=0)  # [8, N]
-
-        def drain(tid, t, prim):
-            # E block for this treelet: [8, 4P]
-            eb = emat_ref[pl.ds(tid * 8, 8), :]
-            # sides+plane: S = eb^T @ R6 -> [4P, N]
-            S = jax.lax.dot_general(
-                eb, R6, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [4P, N]
-            s0 = S[0 * P:1 * P]
-            s1 = S[1 * P:2 * P]
-            s2 = S[2 * P:3 * P]
-            pln = S[3 * P:4 * P]  # n.rd per prim... wait: plane group rows
-            return s0, s1, s2, pln, t, prim
-
-        # NOTE: t needs (d - n.ro)/(n.rd): n.rd comes from the matmul with
-        # (rd) rows; d*1 via row 3 x const-1 row — second small matmul.
-        # For the lab we fold: plane cols rows0..2 = n, row3 = d; multiply
-        # against R2 = [rox,roy,roz,1] -> num = d + ... sign flip.
-        R4 = jnp.concatenate([
-            rox.reshape(1, N), roy.reshape(1, N), roz.reshape(1, N),
-            jnp.ones((1, N), jnp.float32), jnp.zeros((4, N), jnp.float32),
-        ], axis=0)  # [8, N]
-
-        def body(c):
-            cur, t, prim, pend_tid = c
-            active = cur >= 0
-            curc = jnp.maximum(cur, 0)
-            row = nodes_ref[pl.ds(curc, 1), :]
-            irow = F2I(row)
-            hitl, missl = _select_links(irow, ordv)
-            start = irow[0, 18]
-            tre = irow[0, 21]
-            bminx, bminy, bminz = row[0, 0], row[0, 1], row[0, 2]
-            bmaxx, bmaxy, bmaxz = row[0, 3], row[0, 4], row[0, 5]
-            t0x = (bminx - rox) * ivx
-            t1x = (bmaxx - rox) * ivx
-            t0y = (bminy - roy) * ivy
-            t1y = (bmaxy - roy) * ivy
-            t0z = (bminz - roz) * ivz
-            t1z = (bmaxz - roz) * ivz
-            tenter = jnp.maximum(
-                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-                jnp.minimum(t0z, t1z))
-            texit = jnp.minimum(
-                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-                jnp.maximum(t0z, t1z))
-            hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t)
-            anyhit = jnp.any(hitv) & active
-            enter = (start >= 0) & anyhit
-
-            # branch-free MXU drain of the PENDING treelet
-            tidc = jnp.maximum(pend_tid, 0)
-            eb = emat_ref[pl.ds(tidc * 8, 8), :]
-            S = jax.lax.dot_general(
-                eb, R6, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # [4P, N]
-            NUM = jax.lax.dot_general(
-                eb[:, 3 * P:4 * P], R4, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)      # [P, N]
-            pvalid = (pid_ref[pl.ds(tidc, 1), :] >= 0)    # [1, P]
-            have = pend_tid >= 0
-
-            def slot(j, tp):
-                t, prim = tp
-                s0 = S[0 * P + j].reshape(tile_rows, LANES)
-                s1 = S[1 * P + j].reshape(tile_rows, LANES)
-                s2 = S[2 * P + j].reshape(tile_rows, LANES)
-                den = S[3 * P + j].reshape(tile_rows, LANES)  # n.rd
-                num = -NUM[j].reshape(tile_rows, LANES)       # (d... sign)
-                inside = ((s0 >= 0) & (s1 >= 0) & (s2 >= 0)) | (
-                    (s0 <= 0) & (s1 <= 0) & (s2 <= 0))
-                tt = num / jnp.where(jnp.abs(den) > 1e-12,
-                                     den, jnp.float32(1e-12))
-                ok = inside & (jnp.abs(den) > 1e-12) & (tt > T_MIN) \
-                    & have & pvalid[0, j]
-                closer = ok & (tt < t)
-                t = jnp.where(closer, tt, t)
-                prim = jnp.where(closer, pid_ref[tidc, j], prim)
-                return (t, prim)
-
-            for j in range(P):
-                t, prim = slot(j, (t, prim))
-
-            pend_tid = jnp.where(enter, tre, -1)
-            nxt = jnp.where(anyhit, hitl, missl)
-            nxt = jnp.where(active, nxt, cur)
-            return (nxt, t, prim, pend_tid)
-
-        def cond(c):
-            return (c[0] >= 0) | (c[3] >= 0)
-
-        _, t, prim, _ = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), t_init, prim0, jnp.int32(-1)))
-        tout_ref[:] = t
-        pout_ref[:] = prim
-
-    return kernel
