@@ -270,7 +270,16 @@ def traverse(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4, impl="auto"):
             # equal-tenter voxel ties (adjacent boxes sharing the entry
             # plane) are visit-order races between this walk and the
             # kernels' direction-ordered walks: break them
-            # deterministically toward the SMALLER original node index
+            # deterministically toward the SMALLER original node index.
+            # Residual (documented, advisor r3): the DESCEND decision
+            # below still uses strict tenter < t, so an ancestor box
+            # that exactly ties the current best t is pruned in one
+            # visit order but was already entered in the other — on an
+            # exact f32 tie of an ancestor entry plane the two walks can
+            # still pick different voxels.  This is measure-zero (needs
+            # bit-exact tenter == t on an interior node) and accepted;
+            # making descent tie-aware would force entering every tied
+            # subtree in both walks.
             vtie = (
                 (t_enter <= t_exit) & (t_exit > 0.0) & active
                 & (vmtl >= 0) & (ndepth >= scene["lod_depth"])

@@ -188,6 +188,7 @@ def _reproject_prev_pixel(prev_cam, p, width, height):
 
 def _direct_core(scene, cam_arrays, width, height, state, st,
                  ro, rd, hit, h, mat):
+    used = scene.get("used_mtl_types")
     """ReSTIR direct-lighting core at a batch of primary hits: initial
     candidates -> visibility -> temporal reuse -> spatial reuse -> shade.
     Shared verbatim by the direct renderer and the GI composition so the
@@ -220,7 +221,7 @@ def _direct_core(scene, cam_arrays, width, height, state, st,
         ls = sample_light(scene, lidx, h["p"], uc, (ua, ub))
         yf, ls2 = _light_sample_to_y(scene, ls, lidx)
         contrib, target, wi, dist = _eval_candidate(
-            mat, h["p"], h["ns"], wo, dict(yf, kind=yf["kind"])
+            mat, h["p"], h["ns"], wo, dict(yf, kind=yf["kind"]), used=used
         )
         # proposal pdf in the sample's own measure
         pdf_sel = jnp.float32(1.0 / max(num_lights, 1))
@@ -236,7 +237,8 @@ def _direct_core(scene, cam_arrays, width, height, state, st,
     r = _finalize_W(r)
 
     # ---- visibility of the winner (EvaluateVisibility, restir_impl.h:219)
-    _, _, wi_win, dist_win = _eval_candidate(mat, h["p"], h["ns"], wo, r)
+    _, _, wi_win, dist_win = _eval_candidate(mat, h["p"], h["ns"], wo, r,
+                                             used=used)
     ro_sh = h["p"] + n_or * 1e-3
     # keep the shadow ray off the emitter's own surface (nee.shadow_distance)
     cos_lw = vm.dot(r["l_nml"], -wi_win, keepdims=False)
@@ -265,7 +267,8 @@ def _direct_core(scene, cam_arrays, width, height, state, st,
         & (prev_mesh == h["mesh"])
         & depth_ok
     )
-    _, target_prev_here, _, _ = _eval_candidate(mat, h["p"], h["ns"], wo, prev)
+    _, target_prev_here, _, _ = _eval_candidate(mat, h["p"], h["ns"], wo,
+                                                prev, used=used)
     ut, st = smp.next_1d(st)
     merged = _merge_reservoir(r, prev, target_prev_here, ut, m_cap=TEMPORAL_M_CAP * 1.0)
     merged = _finalize_W(merged)
@@ -295,7 +298,8 @@ def _direct_core(scene, cam_arrays, width, height, state, st,
         geo_ok = (jnp.sum(h["ns"] * nj, axis=-1) > 0.9) & (
             jnp.abs(tj - hit["t"]) < 0.1 * jnp.maximum(hit["t"], 1e-3)
         )
-        _, target_j_here, _, _ = _eval_candidate(mat, h["p"], h["ns"], wo, rj)
+        _, target_j_here, _, _ = _eval_candidate(mat, h["p"], h["ns"], wo, rj,
+                                                 used=used)
         merged = _merge_reservoir(r, rj, target_j_here, us)
         merged = _finalize_W(merged)
         r = {
@@ -312,7 +316,8 @@ def _direct_core(scene, cam_arrays, width, height, state, st,
     )
 
     # ---- final shade (ComputePixelColor, restir_impl.h:583)
-    contrib, target, wi_f, dist_f = _eval_candidate(mat, h["p"], h["ns"], wo, r)
+    contrib, target, wi_f, dist_f = _eval_candidate(mat, h["p"], h["ns"], wo,
+                                                    r, used=used)
     ro_shf = h["p"] + n_or * 1e-3
     cos_lf = vm.dot(r["l_nml"], -wi_f, keepdims=False)
     dist_f2 = jnp.where(

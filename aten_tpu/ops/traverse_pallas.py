@@ -1650,7 +1650,12 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     elif kern == "smt":
         quantum = TILE * chains
     else:
-        quantum = _ENV_TILE_ROWS * LANES
+        # wide tiles only for RESIDENT pools: the streamed variant's
+        # Mosaic compile blows past 20 minutes at 16 rows (measured on
+        # crytek-class full PT); 8 rows compiles in minutes and the
+        # wide-tile win was measured on resident scenes.
+        pool_mb = (scene["trl_nodes"].size + scene["trl_prims"].size) * 4e-6
+        quantum = (_ENV_TILE_ROWS if pool_mb <= 10.0 else ROWS) * LANES
     Np = -(-N // quantum) * quantum
     padn = Np - N
 
@@ -1694,7 +1699,7 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
             kw["chains"] = chains
         else:
             impl_fn = _traverse_treelet_tiles
-            kw["tile_rows"] = _ENV_TILE_ROWS
+            kw["tile_rows"] = _ENV_TILE_ROWS if kw["resident"] else ROWS
         t, prim = impl_fn(
             scene["trl_nodes"], scene["trl_prims"],
             rox, roy, roz, rdx, rdy, rdz, t0p, **kw,

@@ -26,6 +26,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compile cache: the wide-tile kernels take minutes to
+# compile through the remote-TPU tunnel; caching makes repeat bench
+# runs (and the driver's end-of-round run) start hot.
+jax.config.update("jax_compilation_cache_dir", "/tmp/aten_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 # per-config recorded history (round-1 judge measurements / BENCH_r01)
 BASELINES = {
     "trav_dragon_primary": 4.3,      # judge-measured r01, Mrays/s
