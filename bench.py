@@ -47,19 +47,20 @@ BASELINES = {
 # metrics LOWER is better; vs_prev is inverted there so >1 always means
 # "better than last round".
 HISTORY = {
-    #                      r02        r03
-    "trav_dragon_primary": (42.8526, 44.9211),
-    "trav_sponza_primary": (32.8772, 32.6371),
-    "cornell_100spp_mrays": (1.7602, 1.1845),
-    "mtrl_zoo_ibl_mrays": (0.6197, 0.5389),
-    "crytek_class_mrays": (0.1, 0.1598),
-    "sponza_svgf_1spp_ms": (1096.0272, 770.2587),
-    "restir_126lights_ms": (1239.6871, 1263.9813),
-    "hetero_volume_ms": (27473.6374, 27475.697),
-    "cornell_fwd_bwd_mrays": (5.0099, 5.0975),
+    #                      r02        r03        r04
+    "trav_dragon_primary": (42.8526, 44.9211, 59.6479),
+    "trav_sponza_primary": (32.8772, 32.6371, 49.8683),
+    "cornell_100spp_mrays": (1.7602, 1.1845, 9.7141),
+    "mtrl_zoo_ibl_mrays": (0.6197, 0.5389, 0.8486),
+    "crytek_class_mrays": (0.1, 0.1598, 0.198),
+    "sponza_svgf_1spp_ms": (1096.0272, 770.2587, 620.8006),
+    "restir_126lights_ms": (1239.6871, 1263.9813, 361.0502),
+    "restir_gi_126lights_ms": (395.6538,),
+    "hetero_volume_ms": (27473.6374, 27475.697, 3208.7928),
+    "cornell_fwd_bwd_mrays": (5.0099, 5.0975, 7.7344),
 }
 LOWER_IS_BETTER = {"sponza_svgf_1spp_ms", "restir_126lights_ms",
-                   "hetero_volume_ms"}
+                   "restir_gi_126lights_ms", "hetero_volume_ms"}
 
 
 def traversal_path(scene):
