@@ -65,6 +65,9 @@ def build_parser():
     p.add_argument("--sampler", choices=["cmj", "bluenoise"], default="cmj",
                    help="bluenoise uses void-and-cluster masks for the "
                         "pixel jitter + BSDF dims (bluenoiseSampler role)")
+    p.add_argument("--restir-direct-only", action="store_true",
+                   help="ReSTIR without the PT bounce composition "
+                        "(reservoir direct lighting debug view)")
     p.add_argument("--stats", action="store_true",
                    help="print Mrays/s + ms/frame (the reference's live "
                         "ImGui meter, device_renderer/main.cpp:250)")
@@ -176,8 +179,8 @@ def main(argv=None):
     elif args.integrator == "restir":
         from aten_tpu.integrator.restir import ReSTIRRenderer
 
-        r = ReSTIRRenderer(scene, cam, gi=True, max_depth=args.max_depth,
-                           rr_depth=args.rr_depth)
+        r = ReSTIRRenderer(scene, cam, gi=not args.restir_direct_only,
+                           max_depth=args.max_depth, rr_depth=args.rr_depth)
         for _ in range(args.spp):
             img = r.render_frame()
     elif args.integrator == "ao":
