@@ -462,12 +462,11 @@ def occluded(scene, ro, rd, dist, eps=1e-3, impl="auto"):
     return res["hit"] & (dist > eps)
 
 
-def occlusion_alpha(scene, ro, rd, dist, eps=1e-3, max_hits=4, impl="auto"):
+def occlusion_alpha(scene, ro, rd, dist, eps=1e-3, max_hits=10, impl="auto"):
     """Shadow occlusion THROUGH alpha-translucent surfaces: walks up to
     max_hits closest hits, multiplying (1 - alpha) per surface —
     HitTestToTargetLight's bounded punch-through loop
-    (pathtracing_impl.h:266-351, max_lookups 10 capped here at 4 closest
-    walks since each is a full traversal).  Alpha combines the material
+    (pathtracing_impl.h:266-351, max_lookups 10).  Alpha combines the material
     alpha with the albedo-map alpha at the hit uv, matching the
     reference's shadow-ray texture fetch (pathtracing_impl.h:290-297).
     Returns occlusion in [0,1]; 0 = fully visible.

@@ -188,12 +188,12 @@ def _reproject_prev_pixel(prev_cam, p, width, height):
 
 def _direct_core(scene, cam_arrays, width, height, state, st,
                  ro, rd, hit, h, mat):
-    used = scene.get("used_mtl_types")
     """ReSTIR direct-lighting core at a batch of primary hits: initial
     candidates -> visibility -> temporal reuse -> spatial reuse -> shade.
     Shared verbatim by the direct renderer and the GI composition so the
     direct pass's sample streams (and its pinned golden) are unchanged.
     Returns (color [N,3], reservoir, new_state, sampler_state)."""
+    used = scene.get("used_mtl_types")
     N = width * height
     num_lights = scene["num_lights"]
     pix = jnp.arange(N, dtype=jnp.uint32)
@@ -437,6 +437,8 @@ def restir_gi_sample(scene, cam_arrays, width, height, frame, state,
         from aten_tpu.scene import textures as tex_mod
 
         mat = tex_mod.apply_albedo(scene, mat, h["uv"])
+        mat = tex_mod.apply_roughness_map(scene, mat, h["uv"])
+        h["ns"] = tex_mod.apply_normal_map(scene, mat, h["ns"], h["uv"])
 
         miss = alive & ~hit["hit"]
         if scene.get("envmap") is not None:

@@ -159,6 +159,21 @@ def _props70(node):
     return out
 
 
+_ROT_ORDERS = ("XYZ", "XZY", "YZX", "YXZ", "ZXY", "ZYX")
+
+
+def _rotation_order(props):
+    """Map a model's RotationOrder Properties70 enum (0..5) to the
+    Euler-order string consumed by _euler_deg_to_quat; FBX default XYZ."""
+    ro = props.get("RotationOrder")
+    if not ro:
+        return "XYZ"
+    try:
+        return _ROT_ORDERS[int(ro[-1])]
+    except (ValueError, IndexError, TypeError):
+        return "XYZ"
+
+
 def _euler_deg_to_quat(e, order="XYZ"):
     """Euler degrees -> quaternion (x,y,z,w), FBX default order XYZ
     (R = Rz @ Ry @ Rx applied to column vectors)."""
@@ -269,11 +284,6 @@ def load_fbx_meshes(path):
                        if lm.first("MappingInformationType") else "AllSame")
             if mapping == "ByPolygon" and len(mats):
                 # triangle -> source polygon index
-                poly_of_tri = []
-                poly = 0
-                for i, v in enumerate(pvi):
-                    if v < 0:
-                        poly += 1
                 poly_ids = []
                 poly = 0
                 start = 0
@@ -375,10 +385,11 @@ def load_fbx_skinned(builder, path, mtl_id=None):
         r = props.get("Lcl Rotation", (0, 0, 0))[-3:]
         pre = props.get("PreRotation")
         s = props.get("Lcl Scaling", (1, 1, 1))[-3:]
+        order = _rotation_order(props)
         bind_t[j] = np.asarray(t, np.float64)
-        q = _euler_deg_to_quat(r)
+        q = _euler_deg_to_quat(r, order)
         if pre is not None:
-            qpre = _euler_deg_to_quat(pre[-3:])
+            qpre = _euler_deg_to_quat(pre[-3:], order)
             # q_total = q_pre * q_lcl
             x1, y1, z1, w1 = qpre
             x2, y2, z2, w2 = q

@@ -286,7 +286,10 @@ def write_nvdb(path, density, bmin=(0, 0, 0), bmax=(1, 1, 1),
     if codec_id == 1:
         import zlib
 
-        blob = zlib.compress(blob)
+        # Published ZIP framing (nanovdb/util/IO.h): a u64 compressed
+        # byte count precedes the zlib stream, and fileSize covers both.
+        z = zlib.compress(blob)
+        blob = struct.pack("<Q", len(z)) + z
 
     with open(path, "wb") as f:
         # FileHeader {magic u64, version u32, gridCount u16, codec u16}
@@ -338,8 +341,16 @@ def load_nvdb_dense(path, max_dim=256):
     if hdr["codec"] == 1:
         import zlib
 
-        g = memoryview(zlib.decompress(
-            data[blob_start:blob_start + file_size]))
+        # Published ZIP framing: u64 compressed-size prefix, then the
+        # zlib stream (nanovdb/util/IO.h).  Fall back to the prefix-less
+        # dialect this writer produced before the framing fix.
+        csize = struct.unpack_from("<Q", data, blob_start)[0]
+        try:
+            g = memoryview(zlib.decompress(
+                data[blob_start + 8:blob_start + 8 + csize]))
+        except zlib.error:
+            g = memoryview(zlib.decompress(
+                data[blob_start:blob_start + file_size]))
     elif (blob_start + 8 <= len(data) and
           struct.unpack_from("<Q", data, blob_start)[0] == NANOVDB_MAGIC):
         g = memoryview(data)[blob_start:]
