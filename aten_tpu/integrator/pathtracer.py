@@ -497,8 +497,11 @@ def _trace_paths(
             u1 = bn.sample(px, py, fkey, base)
             u2 = bn.sample(px, py, fkey, base + jnp.uint32(1))
             u3 = bn.sample(px, py, fkey, base + jnp.uint32(2))
-        samp = brdf_mod.sample_brdf(
-            mat, h["ns"], wo, u1, u2, u3, used=scene.get("used_mtl_types")
+        from aten_tpu.shading import dispatch as disp_mod
+
+        samp = disp_mod.sample_brdf(
+            scene, mat, h["ns"], wo, u1, u2, u3,
+            used=scene.get("used_mtl_types")
         )
         n_or = brdf_mod.orient_normal(h["ns"], wo)
         cos_wi = jnp.abs(vm.dot(n_or, samp["wi"], keepdims=False))

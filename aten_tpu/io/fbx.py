@@ -22,9 +22,10 @@ Format summary (publicly documented layout):
 Scope: triangulated meshes (polygon fan), normals/uvs (ByPolygonVertex
 or ByControlPoint, Direct or IndexToDirect), per-polygon material ids,
 skin clusters (indexes/weights/TransformLink), LimbNode skeleton with
-Lcl TRS + PreRotation.  Animation curves remain glTF-canonical
-(PARITY.md) — the reference's own pipeline likewise bakes animation
-offline via FbxConverter.
+Lcl TRS + PreRotation, and animation takes (load_fbx_clip:
+AnimationStack -> Layer -> CurveNode -> Curve with KeyTime ticks and
+d|X/Y/Z channels -> anim.AnimationClip) — the FbxConverter/AnmExporter
+role (/root/reference/src/FbxConverter/AnmExporter.cpp).
 """
 from __future__ import annotations
 
@@ -324,28 +325,23 @@ def _connections(root):
     return conn
 
 
-def load_fbx_skinned(builder, path, mtl_id=None):
-    """Import the first skinned mesh: returns (DeformableMesh attached to
-    `builder`, Skeleton, [] clips, inv_bind [J,4,4]) — the same contract
-    as anim.formats.load_gltf_skinned, so FBX assets drive the identical
-    LBS + per-frame LBVH rebuild path."""
-    from aten_tpu.anim.skeleton import Skeleton
-    from aten_tpu.anim.skinning import DeformableMesh
-    from aten_tpu.scene.materials import MaterialType
+def _connections_full(root):
+    """All C records as (child, parent, property-or-None) triples."""
+    out = []
+    cn = root.first("Connections")
+    if cn is None:
+        return out
+    for c in cn.find("C"):
+        if len(c.props) >= 3:
+            out.append((c.props[1], c.props[2],
+                        c.props[3] if len(c.props) > 3 else None))
+    return out
 
-    root = parse_fbx(path)
-    objects = root.first("Objects")
-    assert objects is not None, "no Objects section"
-    meshes = load_fbx_meshes(path)
-    assert meshes, "no mesh geometry in FBX"
 
-    by_id = {}
-    for n in objects.children:
-        if n.props:
-            by_id[n.props[0]] = n
-    conn = _connections(root)
-
-    # skeleton: LimbNode models, topologically ordered
+def _limb_order(objects, conn):
+    """(topological joint-node order, child->parent map) over LimbNode/
+    Root/Null models — shared by the skin importer and the clip loader
+    so both assign identical joint indices."""
     limb_ids = [n.props[0] for n in objects.find("Model")
                 if len(n.props) >= 3 and n.props[2] in ("LimbNode", "Root",
                                                         "Null")]
@@ -370,6 +366,177 @@ def load_fbx_skinned(builder, path, mtl_id=None):
 
     for n in limb_ids:
         add(n)
+    return order, parent_of
+
+
+def _model_name(node):
+    p = node.props
+    if len(p) > 1 and isinstance(p[1], str):
+        return p[1].split("\x00")[0]
+    return ""
+
+
+def fbx_joint_names(path):
+    """Joint names in the same order load_fbx_skinned assigns indices."""
+    root = parse_fbx(path)
+    objects = root.first("Objects")
+    conn = _connections(root)
+    order, _ = _limb_order(objects, conn)
+    by_id = {n.props[0]: n for n in objects.children if n.props}
+    return [_model_name(by_id[nid]) for nid in order]
+
+
+# 1 second = 46,186,158,000 FBX KTime ticks (published constant)
+_KTIME_PER_SEC = 46186158000.0
+
+
+def load_fbx_clip(path, joint_names=None):
+    """Parse the file's take (AnimationStack -> Layer -> CurveNode ->
+    Curve chain, KeyTime/KeyValueFloat) into an anim.AnimationClip —
+    the FbxConverter/AnmExporter role
+    (/root/reference/src/FbxConverter/AnmExporter.cpp): d|X/Y/Z channel
+    curves land on TRS tracks, Euler rotation keys are composed with
+    the model's PreRotation under its RotationOrder, exactly like the
+    bind pose import.
+
+    joint_names: target joint order (e.g. fbx_joint_names(model_fbx));
+    curves are matched to it BY MODEL NAME so a separate motion take
+    (unitychan_WAIT00.fbx style) can drive the model file's skeleton.
+    Joints without curves hold the MOTION file's bind TRS.  Returns an
+    AnimationClip with time 0 at the take's first key."""
+    from aten_tpu.anim.animation import AnimationClip
+
+    root = parse_fbx(path)
+    objects = root.first("Objects")
+    by_id = {n.props[0]: n for n in objects.children if n.props}
+    conns = _connections_full(root)
+    conn = _connections(root)
+    order, _ = _limb_order(objects, conn)
+    names = {nid: _model_name(by_id[nid]) for nid in order}
+
+    # CurveNode -> (model node id, TRS property)
+    acn_target = {}
+    for child, parent, prop in conns:
+        n = by_id.get(child)
+        if (n is not None and n.name == "AnimationCurveNode"
+                and parent in names
+                and prop in ("Lcl Translation", "Lcl Rotation",
+                             "Lcl Scaling")):
+            acn_target[child] = (parent, prop)
+    # (CurveNode, axis channel) -> AnimationCurve node
+    curves = {}
+    for child, parent, prop in conns:
+        n = by_id.get(child)
+        if (parent in acn_target and n is not None
+                and n.name == "AnimationCurve"):
+            curves[(parent, prop)] = n
+
+    # per joint node: {"Lcl Translation": {axis: (times_s, values)}}
+    chans = {}
+    t_min = None
+    for acn, (model, prop) in acn_target.items():
+        for axis in ("d|X", "d|Y", "d|Z"):
+            c = curves.get((acn, axis))
+            if c is None:
+                continue
+            kt_node = c.first("KeyTime")
+            kv_node = c.first("KeyValueFloat")
+            if kt_node is None or kv_node is None or not len(kt_node.props):
+                continue
+            kt = (np.asarray(kt_node.props[0], np.float64)
+                  / _KTIME_PER_SEC)
+            kv = np.asarray(kv_node.props[0], np.float64)
+            if kt.size == 0:
+                continue
+            chans.setdefault(model, {}).setdefault(prop, {})[axis] = (kt, kv)
+            t0 = float(kt[0])
+            t_min = t0 if t_min is None else min(t_min, t0)
+    if t_min is None:
+        t_min = 0.0
+
+    if joint_names is None:
+        targets = [names[nid] for nid in order]
+    else:
+        targets = list(joint_names)
+    # motion-file model lookup by name (first match wins)
+    node_of_name = {}
+    for nid in order:
+        node_of_name.setdefault(names[nid], nid)
+
+    tracks = []
+    for name in targets:
+        nid = node_of_name.get(name)
+        node = by_id.get(nid) if nid is not None else None
+        props = _props70(node) if node is not None else {}
+        bt = np.asarray(props.get("Lcl Translation", (0, 0, 0))[-3:],
+                        np.float64)
+        br = np.asarray(props.get("Lcl Rotation", (0, 0, 0))[-3:],
+                        np.float64)
+        bs = np.asarray(props.get("Lcl Scaling", (1, 1, 1))[-3:],
+                        np.float64)
+        pre = props.get("PreRotation")
+        rot_order = _rotation_order(props)
+        ch = chans.get(nid, {})
+
+        # union timeline over this joint's channels (seconds, 0-based)
+        all_t = [kt for group in ch.values() for kt, _ in group.values()]
+        if all_t:
+            times = np.unique(np.concatenate(all_t)) - t_min
+        else:
+            times = np.zeros(1, np.float64)
+
+        def resample(group, default3):
+            out = np.tile(np.asarray(default3, np.float64), (len(times), 1))
+            for a, axis in enumerate(("d|X", "d|Y", "d|Z")):
+                if axis in group:
+                    kt, kv = group[axis]
+                    out[:, a] = np.interp(times + t_min, kt, kv)
+            return out
+
+        tr = resample(ch.get("Lcl Translation", {}), bt)
+        eu = resample(ch.get("Lcl Rotation", {}), br)
+        sc = resample(ch.get("Lcl Scaling", {}), bs)
+        q = np.stack([_euler_deg_to_quat(e, rot_order) for e in eu])
+        if pre is not None:
+            qp = _euler_deg_to_quat(pre[-3:], rot_order)
+            x1, y1, z1, w1 = qp
+            x2, y2, z2, w2 = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+            q = np.stack([
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            ], axis=1)
+        tracks.append({
+            "times": times.astype(np.float32),
+            "trans": tr.astype(np.float32),
+            "rot": q.astype(np.float32),
+            "scale": sc.astype(np.float32),
+        })
+    return AnimationClip.from_tracks(tracks)
+
+
+def load_fbx_skinned(builder, path, mtl_id=None):
+    """Import the first skinned mesh: returns (DeformableMesh attached to
+    `builder`, Skeleton, [] clips, inv_bind [J,4,4]) — the same contract
+    as anim.formats.load_gltf_skinned, so FBX assets drive the identical
+    LBS + per-frame LBVH rebuild path."""
+    from aten_tpu.anim.skeleton import Skeleton
+    from aten_tpu.anim.skinning import DeformableMesh
+    from aten_tpu.scene.materials import MaterialType
+
+    root = parse_fbx(path)
+    objects = root.first("Objects")
+    assert objects is not None, "no Objects section"
+    meshes = load_fbx_meshes(path)
+    assert meshes, "no mesh geometry in FBX"
+
+    by_id = {}
+    for n in objects.children:
+        if n.props:
+            by_id[n.props[0]] = n
+    conn = _connections(root)
+    order, parent_of = _limb_order(objects, conn)
     jindex = {n: j for j, n in enumerate(order)}
 
     J = len(order)
@@ -385,11 +552,11 @@ def load_fbx_skinned(builder, path, mtl_id=None):
         r = props.get("Lcl Rotation", (0, 0, 0))[-3:]
         pre = props.get("PreRotation")
         s = props.get("Lcl Scaling", (1, 1, 1))[-3:]
-        order = _rotation_order(props)
+        rot_order = _rotation_order(props)
         bind_t[j] = np.asarray(t, np.float64)
-        q = _euler_deg_to_quat(r, order)
+        q = _euler_deg_to_quat(r, rot_order)
         if pre is not None:
-            qpre = _euler_deg_to_quat(pre[-3:], order)
+            qpre = _euler_deg_to_quat(pre[-3:], rot_order)
             # q_total = q_pre * q_lcl
             x1, y1, z1, w1 = qpre
             x2, y2, z2, w2 = q

@@ -99,7 +99,13 @@ def build_pallas_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius, num
     return {"pl_nodes": nodes, "pl_prims": prims}
 
 
-def _make_kernel(any_hit: bool, t_min: float):
+def _make_kernel(any_hit: bool, t_min: float, tile_rows: int = ROWS):
+    """tile_rows: rays per walk = tile_rows*128.  For the dense resident
+    kernel every tile's visited union IS the whole (small) tree, so
+    wider tiles amortize the ~330 ns serial node-step latency with NO
+    union growth — cornell/zoo wavefronts run millions of lanes through
+    thousands of tiles (zoo shadow batch measured ~540 ms/launch at 8
+    rows from tile count alone)."""
     def f2i(x):
         return pltpu.bitcast(x, jnp.int32)
 
@@ -119,9 +125,9 @@ def _make_kernel(any_hit: bool, t_min: float):
         ivx, ivy, ivz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
 
         t_init = t0_ref[:]
-        prim0 = _seed_dead(jnp.full((ROWS, LANES), -1, jnp.int32),
+        prim0 = _seed_dead(jnp.full((tile_rows, LANES), -1, jnp.int32),
                            t_init, any_hit, t_min)
-        zero = jnp.zeros((ROWS, LANES), jnp.float32)
+        zero = jnp.zeros((tile_rows, LANES), jnp.float32)
 
         def cond(c):
             return c[0] >= 0
@@ -251,12 +257,13 @@ def _make_kernel(any_hit: bool, t_min: float):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("any_hit", "t_min"))
+@functools.partial(jax.jit, static_argnames=("any_hit", "t_min", "tile_rows"))
 def _traverse_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
-                    any_hit=False, t_min=1e-4):
-    g = rox.shape[0] // ROWS
-    kernel = _make_kernel(any_hit, float(t_min))
-    ray_spec = pl.BlockSpec((ROWS, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                    any_hit=False, t_min=1e-4, tile_rows=ROWS):
+    g = rox.shape[0] // tile_rows
+    kernel = _make_kernel(any_hit, float(t_min), tile_rows)
+    ray_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(rox.shape, jnp.float32),
@@ -327,6 +334,10 @@ _ENV_CHAINS = int(_os.environ.get("ATEN_TPU_CHAINS", "4"))
 # v3 treelet walk tile height (rays per walk = rows*128); 16 measured
 # +27% over 8 on dragon primaries (see _make_treelet_kernel docstring)
 _ENV_TILE_ROWS = int(_os.environ.get("ATEN_TPU_TILE_ROWS", "16"))
+# dense resident kernel walk height: every tile walks the whole small
+# tree, so wide tiles shrink the tile count at zero union cost (32
+# measured vs 8 on cornell/zoo wavefronts, round 5)
+_ENV_DENSE_ROWS = int(_os.environ.get("ATEN_TPU_DENSE_ROWS", "32"))
 PACK = 8          # prims per 128-lane row (16 lanes each)
 TRL_ROWS = TREELET_MAX // PACK  # rows per fixed-size leaf DMA
 CHUNK = 64  # prim rows per DMA piece (32 KB) — legacy tt_ kernel only
@@ -621,22 +632,110 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
         nrows += -(-c // PACK)
     n_rows_padded = nrows + TRL_ROWS  # fixed-window overread pad
 
+    # Plücker/MXU leaf constants (triangle-only scenes): dense E-block
+    # index per fat leaf, written to node lane 21 below.
+    fat = np.nonzero((start >= 0) & (count > 0) & (row_start >= 0))[0]
+    eblk = np.full(Kt, -1, np.int64)
+    eblk[fat] = np.arange(fat.shape[0])
+
     Kp = -(-Kt // ROWS) * ROWS
     nodes = np.zeros((Kp, LANES), np.float32)
     nodes[:Kt, 0:3] = bmin
     nodes[:Kt, 3:6] = bmax
-    ints = np.full((Kp, 15), -1, np.int32)
+    ints = np.full((Kp, 16), -1, np.int32)
     ints[:, 13] = 0
     ints[:Kt, 0:12] = links.transpose(1, 0, 2).reshape(Kt, 12)
     ints[:Kt, 12] = row_start
     ints[:Kt, 13] = count
     if vox_base is not None:
         ints[:Kt, 14] = np.where(vox_cut >= 0, vox_base + vox_cut, -1)
-    nodes[:, 6:21] = ints.view(np.float32)
+    ints[:Kt, 15] = eblk
+    nodes[:, 6:22] = ints.view(np.float32)
 
     prims = _pack_prims_8(order, tri_v0, tri_e1, tri_e2, sph_center,
                           sph_radius, num_tris, row_of_prim, n_rows_padded)
-    return {"trl_nodes": nodes, "trl_prims": prims}
+    out = {"trl_nodes": nodes, "trl_prims": prims}
+    # triangle-only scenes get the Plücker E pool (sph arrays may carry
+    # a dummy padding row — check the actual prim ids instead)
+    tris_only = not (order >= num_tris).any()
+    if tris_only and fat.shape[0] > 0:
+        emat, slot2prim = _build_plucker_emat(
+            order, tri_v0, tri_e1, tri_e2, start, count, fat,
+            row_of_prim, n_rows_padded)
+        out["trl_emat"] = emat
+        out["trl_slot2prim"] = slot2prim
+    return out
+
+
+# Plücker/MXU leaf drain (the round-5 kernel push, VERDICT r4 #1).
+#
+# Möller-Trumbore costs ~47 VPU ops per (ray, prim) pair and dominated
+# the wide-tile kernel (~60% of tile time in the 64-slot drain).  The
+# in-triangle test is 3 Plücker side signs — each a permuted inner
+# product of the ray line (rd, ro x rd) with a constant edge line
+# (d_e, a x b) — and the plane t is (n.v0 - n.ro)/(n.rd): ALL bilinear
+# in (per-prim constants, per-ray 10-vector).  One MXU matmul of the
+# treelet's constant block E [16, 5P] against the tile's ray matrix
+# R [16, N] therefore computes every form for every (ray, prim) pair,
+# and the VPU tail drops to ~18 ops/pair IN [P, N] LAYOUT (the lab's
+# 256x-per-drain lane->sublane relayout is replaced by a mantissa-LSB
+# slot encode + ONE sublane min-reduce + one (1,N)->tile reshape).
+#
+# E column groups (P = TRL_ROWS*PACK prims, rows = contraction axis):
+#   [0,P)   side0: rows 0-2 = a x b, rows 3-5 = d_e   (edge v0 -> v1)
+#   [P,2P)  side1                                      (edge v1 -> v2)
+#   [2P,3P) den:   rows 0-2 = n  (contracts rd)
+#   [3P,4P) numn:  rows 6-8 = -n, row 9 = n.v0 (contracts ro, 1)
+# R rows: 0-2 rd, 3-5 ro x rd, 6-8 ro, 9 ones, 10-15 zero.
+# side2 is recovered in-kernel from the identity s0+s1+s2 = den (the
+# Plücker sides ARE the barycentrics scaled by den), and the num group
+# is stored NEGATED so tt = numn * (1/den) with no extra ops.  Padded
+# columns are all-zero -> tt = 0 * inf = NaN -> self-excluded by the
+# tt > t_min test (no count mask, no denok mask needed).
+#
+# Match: hitTest leaf loop
+# (/root/reference/src/libidaten/kernel/pt_standard_impl.cu:57-229).
+
+PLK_EW = 256  # E block lane width = 4P, exactly 2 lane-tiles
+
+
+def _build_plucker_emat(order, tri_v0, tri_e1, tri_e2, start, count, fat,
+                        row_of_prim, n_rows_padded):
+    """Vectorized E-pool build: [NT*16, PLK_EW] f32 + slot2prim[n_slots].
+
+    Constants are computed in float64 and stored world-frame: with the
+    den-group contracting rd alone (the lab's plk variant polluted den
+    with d*m_x — the real source of its 25% prim agreement), f32 HIGHEST
+    matmuls keep |dt| well inside the 1e-4 parity gate on scene-scale
+    coordinates (measured 7.5e-6 rel on dragon)."""
+    P = TRL_ROWS * PACK
+    NT = fat.shape[0]
+    c_arr = count[fat].astype(np.int64)
+    s_arr = start[fat].astype(np.int64)
+    tot = int(c_arr.sum())
+    tre = np.repeat(np.arange(NT), c_arr)
+    j_in = np.arange(tot) - np.repeat(np.cumsum(c_arr) - c_arr, c_arr)
+    tid = order[s_arr[tre] + j_in]
+    v0 = np.asarray(tri_v0, np.float64)[tid]
+    e1 = np.asarray(tri_e1, np.float64)[tid]
+    e2 = np.asarray(tri_e2, np.float64)[tid]
+    A, B, C3 = v0, v0 + e1, v0 + e2
+    n = np.cross(e1, e2)
+    E = np.zeros((NT, 16, PLK_EW), np.float32)
+    col = j_in
+    for g, (a, b) in enumerate(((A, B), (B, C3))):
+        m_e = np.cross(a, b)
+        d_e = b - a
+        for ax in range(3):
+            E[tre, ax, g * P + col] = m_e[:, ax]
+            E[tre, 3 + ax, g * P + col] = d_e[:, ax]
+    for ax in range(3):
+        E[tre, ax, 2 * P + col] = n[:, ax]
+        E[tre, 6 + ax, 3 * P + col] = -n[:, ax]
+    E[tre, 9, 3 * P + col] = np.einsum("ij,ij->i", n, v0)
+    slot2prim = np.full(n_rows_padded * PACK, -1, np.int32)
+    slot2prim[row_of_prim] = order.astype(np.int32)
+    return E.reshape(NT * 16, PLK_EW), slot2prim
 
 
 def _pick_ordering(rdx, rdy, rdz):
@@ -918,6 +1017,259 @@ def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
             pltpu.SemaphoreType.DMA,
         ],
     )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
+
+
+def _make_plk_treelet_kernel(any_hit: bool, t_min: float, has_lod: bool,
+                             stats: bool, tile_rows: int, n_slots: int):
+    """Treelet walk with the Plücker/MXU leaf drain (see the E-layout
+    comment above _build_plucker_emat).  Node walk is identical to
+    _make_treelet_kernel; fat leaves DMA their E block [16, PLK_EW] from
+    HBM (issued on enter, drained one step later — same pipelining as
+    the streamed MT kernel) and intersect the WHOLE tile against all P
+    prims with one f32-HIGHEST matmul + an 18-op/pair [P, N] tail.
+
+    The kernel reports winners in the SLOT namespace (pstart*PACK + j;
+    voxel leaves shifted by n_slots) — the wrapper translates via
+    trl_slot2prim with one fused gather.  Winner t carries the slot id
+    in its 6 mantissa LSBs (rel. 2^-18 truncation, far inside the 1e-4
+    parity gate); ties therefore break toward the smaller slot = leaf
+    order, matching the oracle's first-strictly-closer rule."""
+    P = TRL_ROWS * PACK
+    assert P & (P - 1) == 0, "slot encode needs power-of-two P"
+    NB = P - 1
+    SENT = np.int32(0x7F800000)  # +inf bits, slot 0
+
+    def f2i(x):
+        return pltpu.bitcast(x, jnp.int32)
+
+    def kernel(
+        nodes_ref, emat_hbm,
+        rox_ref, roy_ref, roz_ref, rdx_ref, rdy_ref, rdz_ref, t0_ref,
+        tout_ref, pout_ref,
+        *rest,
+    ):
+        if stats:
+            sout_ref, lout_ref, escr_ref, esem_ref = rest
+        else:
+            escr_ref, esem_ref = rest
+        rox, roy, roz = rox_ref[:], roy_ref[:], roz_ref[:]
+        rdx, rdy, rdz = rdx_ref[:], rdy_ref[:], rdz_ref[:]
+
+        def safe_inv(d):
+            return jnp.where(
+                jnp.abs(d) > 1e-12, 1.0 / jnp.where(d == 0, 1.0, d), 1e12
+            )
+
+        ivx, ivy, ivz = safe_inv(rdx), safe_inv(rdy), safe_inv(rdz)
+        ordv = _pick_ordering(rdx, rdy, rdz)
+
+        # ray 10-vector rows in [1, N] layout (one-time relayout per tile)
+        N = tile_rows * LANES
+        rs = lambda x: x.reshape(1, N)
+        RDX, RDY, RDZ = rs(rdx), rs(rdy), rs(rdz)
+        ROX, ROY, ROZ = rs(rox), rs(roy), rs(roz)
+        MWX = ROY * RDZ - ROZ * RDY
+        MWY = ROZ * RDX - ROX * RDZ
+        MWZ = ROX * RDY - ROY * RDX
+        R16 = jnp.concatenate(
+            [RDX, RDY, RDZ, MWX, MWY, MWZ, ROX, ROY, ROZ,
+             jnp.ones((1, N), jnp.float32),
+             jnp.zeros((6, N), jnp.float32)], axis=0)
+        jio = jax.lax.broadcasted_iota(jnp.int32, (P, N), 0)
+
+        def drain(eblk):
+            """Reduce one E block to per-ray winner codes (1, N).
+
+            Does NOT touch t/prim: the merge is DEFERRED to the next
+            drain (or loop exit), so this chain's ~2-4 us of latency
+            overlaps the node steps that follow instead of serializing
+            them (measured 40 -> 99 Mrays/s on dragon primaries)."""
+            pltpu.make_async_copy(
+                emat_hbm.at[pl.ds(eblk * 16, 16), :], escr_ref, esem_ref,
+            ).wait()
+            eb = escr_ref[:]
+            S = jax.lax.dot_general(
+                eb, R16, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)  # [PLK_EW, N]
+            s0 = S[0:P]
+            s1 = S[P:2 * P]
+            den = S[2 * P:3 * P]
+            numn = S[3 * P:4 * P]
+            s2 = den - s0 - s1
+            # inside = all sides share sign(den) (Plücker sides ARE the
+            # barycentrics scaled by den) — sign-bit xor test, same
+            # inclusive boundaries as MT's u>=0/v>=0/u+v<=1
+            idn = f2i(den)
+            signok = ((f2i(s0) ^ idn) | (f2i(s1) ^ idn)
+                      | (f2i(s2) ^ idn)) >= 0
+            tt = numn * (1.0 / den)  # den=0 -> inf/NaN -> self-excluded
+            valid = signok & (tt > t_min)
+            enc = (f2i(tt) & ~NB) | jio
+            enc = jnp.where(valid, enc, SENT)
+            return jnp.min(enc, axis=0, keepdims=True)  # (1, N) int32
+
+        def merge(best, bstart, t, prim):
+            """Fold a drain's (1, N) winner codes into the tile state."""
+            bt = pltpu.bitcast(best & ~NB, jnp.float32).reshape(
+                tile_rows, LANES)
+            bs = ((best & NB) + bstart * PACK).reshape(tile_rows, LANES)
+            closer = bt < t
+            t = jnp.where(closer, bt, t)
+            prim = jnp.where(closer, bs, prim)
+            return t, prim
+
+        t_init = t0_ref[:]
+        prim0 = _seed_dead(jnp.full((tile_rows, LANES), -1, jnp.int32),
+                           t_init, any_hit, t_min)
+
+        best0 = jnp.full((1, tile_rows * LANES), SENT, jnp.int32)
+
+        def cond(c):
+            return (c[0] >= 0) | (c[3] >= 0)
+
+        def body(c):
+            cur, t, prim, pend, pstart, best, bstart, ns, dr = c
+            ns = ns + 1
+            dr = dr + jnp.where(pend >= 0, 1, 0)
+
+            # fold the PREVIOUS drain's winners in first: that chain
+            # completed while the walk advanced, so this is ~10 ready
+            # vector ops and the vote below sees a fresh t
+            t, prim = jax.lax.cond(
+                bstart >= 0,
+                lambda tp: merge(best, bstart, tp[0], tp[1]),
+                lambda tp: tp,
+                (t, prim),
+            )
+
+            active = cur >= 0
+            curc = jnp.maximum(cur, 0)
+            row = nodes_ref[pl.ds(curc, 1), :]
+            bminx, bminy, bminz = row[0, 0], row[0, 1], row[0, 2]
+            bmaxx, bmaxy, bmaxz = row[0, 3], row[0, 4], row[0, 5]
+            irow = f2i(row)
+            hitl, missl = _select_links(irow, ordv)
+            start = irow[0, 18]
+            ebn = irow[0, 21]
+
+            t0x = (bminx - rox) * ivx
+            t1x = (bmaxx - rox) * ivx
+            t0y = (bminy - roy) * ivy
+            t1y = (bmaxy - roy) * ivy
+            t0z = (bminz - roz) * ivz
+            t1z = (bmaxz - roz) * ivz
+            tenter = jnp.maximum(
+                jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+                jnp.minimum(t0z, t1z),
+            )
+            texit = jnp.minimum(
+                jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+                jnp.maximum(t0z, t1z),
+            )
+            if any_hit:
+                want = prim < 0
+            else:
+                want = t_init > t_min
+            hitv = (tenter <= texit) & (texit > 0.0) & (tenter < t) & want
+            anyhit = jnp.any(hitv) & active
+            enter_block = (start >= 0) & anyhit & (ebn >= 0)
+
+            if has_lod:
+                # baked voxel leaf, shifted above the slot namespace so
+                # the wrapper can tell slots from voxel prim ids
+                voxp = irow[0, 20]
+                voxs = voxp + n_slots
+                vtie = (
+                    (tenter <= texit) & (texit > 0.0) & want
+                    & (tenter == t) & (voxs < prim)
+                )
+                closer_v = (hitv | vtie) & (tenter > t_min) & (voxp >= 0)
+                t = jnp.where(closer_v, tenter, t)
+                prim = jnp.where(closer_v, voxs, prim)
+
+            # reduce the E block whose DMA was issued on a previous step
+            best, bstart = jax.lax.cond(
+                pend >= 0,
+                lambda _: (drain(pend), pstart),
+                lambda _: (best0, jnp.int32(-1)),
+                None,
+            )
+
+            @pl.when(enter_block)
+            def _():
+                pltpu.make_async_copy(
+                    emat_hbm.at[pl.ds(jnp.maximum(ebn, 0) * 16, 16), :],
+                    escr_ref, esem_ref,
+                ).start()
+
+            pend = jnp.where(enter_block, ebn, -1)
+            pstart = jnp.where(enter_block, start, -1)
+            nxt = jnp.where(anyhit, hitl, missl)
+            nxt = jnp.where(active, nxt, cur)
+            if any_hit:
+                nxt = jnp.where(jnp.all(prim >= 0), -1, nxt)
+            return (nxt, t, prim, pend, pstart, best, bstart, ns, dr)
+
+        _, t, prim, _, _, best, bstart, ns, dr = jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(0), t_init, prim0, jnp.int32(-1), jnp.int32(-1),
+             best0, jnp.int32(-1), jnp.int32(0), jnp.int32(0)),
+        )
+        # fold the final drain's winners (walk ended before a next drain)
+        t, prim = jax.lax.cond(
+            bstart >= 0,
+            lambda tp: merge(best, bstart, tp[0], tp[1]),
+            lambda tp: tp,
+            (t, prim),
+        )
+        tout_ref[:] = t
+        pout_ref[:] = prim
+        if stats:
+            sout_ref[:] = jnp.full((tile_rows, LANES), ns, jnp.int32)
+            lout_ref[:] = jnp.full((tile_rows, LANES), dr, jnp.int32)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("any_hit", "t_min", "has_lod", "stats", "tile_rows",
+                     "n_slots"),
+)
+def _traverse_plk_tiles(nodes, emat, rox, roy, roz, rdx, rdy, rdz, t0,
+                        any_hit=False, t_min=1e-4, has_lod=False,
+                        stats=False, tile_rows=ROWS, n_slots=0):
+    g = rox.shape[0] // tile_rows
+    kernel = _make_plk_treelet_kernel(any_hit, float(t_min), has_lod, stats,
+                                      tile_rows, n_slots)
+    ray_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(rox.shape, jnp.float32),
+        jax.ShapeDtypeStruct(rox.shape, jnp.int32),
+    ]
+    nout = 2
+    if stats:
+        out_shape += [
+            jax.ShapeDtypeStruct(rox.shape, jnp.int32),
+            jax.ShapeDtypeStruct(rox.shape, jnp.int32),
+        ]
+        nout = 4
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # top tree resident
+            pl.BlockSpec(memory_space=pltpu.ANY),    # E pool in HBM
+        ] + [ray_spec] * 7,
+        out_specs=[ray_spec] * nout,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((16, PLK_EW), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(nodes, emat, rox, roy, roz, rdx, rdy, rdz, t0)
 
 
 # ---------------------------------------------------------------------------
@@ -1645,16 +1997,31 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     # (advisor r3) — the scope is "process", read once at import.
     kern = _ENV_KERNEL
     chains = _ENV_CHAINS
+    # Kernel policy (measured, dragon primaries 1024² on v5e):
+    #  - resident pools (<= 10 MB): MT wide-16 treelet kernel, 57.7
+    #    Mrays/s.  The Plücker/MXU leaf measured 39.5 — the [16,4P] x
+    #    [16,N] leaf matmul costs ceil(4P/128)*N MXU cycles (~4.4 us per
+    #    2048-ray drain) vs ~3.2 us for the dual-issued VPU MT drain, so
+    #    the MXU leaf LOSES on resident scenes (PERF_NOTES_R5).
+    #  - beyond-VMEM pools: the plk kernel wins big — E blocks stream
+    #    from HBM with no 64-slot unroll, so wide tiles compile fast
+    #    where the streamed MT kernel was pinned to 8-row tiles by a
+    #    >20-minute Mosaic compile (VERDICT r4 weak #5).
+    #  - ATEN_TPU_KERNEL=plk/mt forces either for triangle-only scenes.
+    if "trl_nodes" in scene:
+        pool_mb = (scene["trl_nodes"].size + scene["trl_prims"].size) * 4e-6
+        use_plk = "trl_emat" in scene and (
+            kern == "plk" or (pool_mb > 10.0 and kern not in ("smt", "mt")))
+    else:
+        use_plk = False
     if "pl_nodes" in scene:
-        quantum = TILE
+        quantum = _ENV_DENSE_ROWS * LANES
     elif kern == "smt":
         quantum = TILE * chains
+    elif use_plk:
+        quantum = _ENV_TILE_ROWS * LANES
     else:
-        # wide tiles only for RESIDENT pools: the streamed variant's
-        # Mosaic compile blows past 20 minutes at 16 rows (measured on
-        # crytek-class full PT); 8 rows compiles in minutes and the
-        # wide-tile win was measured on resident scenes.
-        pool_mb = (scene["trl_nodes"].size + scene["trl_prims"].size) * 4e-6
+        # wide tiles only for RESIDENT pools (streamed MT compile blowup)
         quantum = (_ENV_TILE_ROWS if pool_mb <= 10.0 else ROWS) * LANES
     Np = -(-N // quantum) * quantum
     padn = Np - N
@@ -1681,9 +2048,31 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
         t, prim, u, v = _traverse_tiles(
             scene["pl_nodes"], scene["pl_prims"],
             rox, roy, roz, rdx, rdy, rdz, t0p,
-            any_hit=any_hit, t_min=t_min,
+            any_hit=any_hit, t_min=t_min, tile_rows=_ENV_DENSE_ROWS,
         )
         u, v = flat(u), flat(v)
+    elif use_plk:
+        s2p = scene["trl_slot2prim"]
+        ns_ = int(s2p.shape[0])
+        t, prim = _traverse_plk_tiles(
+            scene["trl_nodes"], scene["trl_emat"],
+            rox, roy, roz, rdx, rdy, rdz, t0p,
+            any_hit=any_hit, t_min=t_min,
+            has_lod=bool(scene.get("trl_has_lod")),
+            tile_rows=_ENV_TILE_ROWS, n_slots=ns_,
+        )
+        raw = flat(prim)
+        if any_hit:  # undo the dead-lane seed (_seed_dead)
+            raw = jnp.where(t0 <= t_min, -1, raw)
+        # slot -> prim id (one gather, fused into eval_hit's downstream
+        # gathers by XLA); voxel winners come back shifted by n_slots
+        slot_ok = (raw >= 0) & (raw < ns_)
+        prim_f = jnp.where(
+            slot_ok, jnp.take(s2p, jnp.clip(raw, 0, ns_ - 1)),
+            jnp.where(raw >= ns_, raw - ns_, -1))
+        u, v = _recompute_uv(scene, ro, rd, prim_f)
+        return {"t": flat(t), "prim": prim_f, "u": u, "v": v,
+                "hit": prim_f >= 0}
     else:
         # packed pools that fit VMEM stay resident (no leaf DMA at all);
         # bigger scenes stream fat-leaf windows from HBM

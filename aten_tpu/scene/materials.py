@@ -146,4 +146,8 @@ def gather_material(mtl_arrays, mtl_id):
     int_fields = tuple(
         k for k, v in mtl_arrays.items() if v.dtype == jnp.int32
     )
-    return take_fields(mtl_arrays, m, int_fields=int_fields)
+    out = take_fields(mtl_arrays, m, int_fields=int_fields)
+    # the source id rides along so partitioned dispatch can re-gather
+    # table rows in-branch instead of sorting every field
+    out["mtl_id"] = m
+    return out

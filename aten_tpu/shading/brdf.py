@@ -445,7 +445,16 @@ def _retro_components(mat, n, wo, wi):
     cos_t = jnp.clip(vm.dot(ut, -n, keepdims=False), 0.0, 1.0)
     theta = jnp.arccos(cos_t)
     th_tab, era_tab = _era_theta_table()
-    E = jnp.interp(theta, jnp.asarray(th_tab), jnp.asarray(era_tab))
+    # uniform-grid lerp: jnp.interp lowers to a vmapped searchsorted
+    # WHILE loop (measured 470 ms/bounce at 8.4M lanes on v5e); the ERA
+    # table is linspace(0, pi/2), so the bin index is direct arithmetic
+    tab = jnp.asarray(era_tab)
+    steps = len(era_tab)
+    pos = jnp.clip(theta / jnp.float32(th_tab[1] - th_tab[0]),
+                   0.0, jnp.float32(steps - 1) - 1e-6)
+    i0 = pos.astype(jnp.int32)
+    fr = pos - i0.astype(jnp.float32)
+    E = jnp.take(tab, i0) * (1.0 - fr) + jnp.take(tab, i0 + 1) * fr
 
     # lobe weights (Retroreflective::ComputeWeights)
     F_in = fresnel_schlick(jnp.clip(nv, 0.0, 1.0), f0)
@@ -735,6 +744,50 @@ def eval_pdf(mat, ns, wo, wi, used=None):
     return jnp.where(zero, 0.0, out)
 
 
+def eval_bsdf_pdf(mat, ns, wo, wi, used=None):
+    """Fused f(wo,wi) + pdf(wo,wi) in ONE pass: the microfacet/Disney/
+    retro/carpaint evaluators already compute both, so NEE calling
+    eval_bsdf then eval_pdf separately paid every family twice."""
+    n = orient_normal(ns, wo)
+    mtype = mat["type"]
+    t = mtype[..., None]
+    nl = jnp.clip(vm.dot(n, wi, keepdims=False), 0.0, 1.0)
+
+    f = mat["base_color"] / PI * jnp.ones_like(nl)[..., None]
+    f = jnp.where((nl[..., None] > 0), f, 0.0)
+    pdf = nl / PI
+    if _need(used, MaterialType.OREN_NAYAR):
+        f = jnp.where(t == MaterialType.OREN_NAYAR,
+                      _oren_nayar_eval(mat, n, wo, wi), f)
+    if _need(used, MaterialType.VELVET):
+        f = jnp.where(t == MaterialType.VELVET,
+                      _velvet_eval(mat, n, wo, wi), f)
+    for ty, both in (
+        (MaterialType.GGX,
+         lambda: _microfacet_eval(mat, n, wo, wi, "ggx")),
+        (MaterialType.BECKMANN,
+         lambda: _microfacet_eval(mat, n, wo, wi, "beckmann")),
+        (MaterialType.DISNEY, lambda: _disney_eval_pdf(mat, n, wo, wi)),
+        (MaterialType.MICROFACET_REFRACTION,
+         lambda: _rough_dielectric_eval_pdf(mat, ns, wo, wi)),
+        (MaterialType.RETROREFLECTIVE,
+         lambda: _retro_eval_pdf(mat, n, wo, wi)),
+        (MaterialType.CAR_PAINT, lambda: _carpaint_eval_pdf(mat, n, wo, wi)),
+    ):
+        if _need(used, ty):
+            fv, pv = both()
+            f = jnp.where(t == ty, fv, f)
+            pdf = jnp.where(mtype == ty, pv, pdf)
+    zero = (
+        (mtype == MaterialType.SPECULAR)
+        | (mtype == MaterialType.REFRACTION)
+        | (mtype == MaterialType.EMISSIVE)
+    )
+    f = jnp.where(zero[..., None], 0.0, f)
+    pdf = jnp.where(zero, 0.0, pdf)
+    return f, pdf
+
+
 def sample_brdf(mat, ns, wo, u1, u2, u3, used=None):
     """Sample wi ~ p(wi | wo). Returns dict:
       wi [N,3], pdf [N], bsdf [N,3], singular [N], transmission [N].
@@ -793,9 +846,9 @@ def sample_brdf(mat, ns, wo, u1, u2, u3, used=None):
         wi = jnp.where(t3 == MaterialType.CAR_PAINT,
                        _carpaint_sample(mat, n, wo, u1, u2, u3), wi)
 
-    # pdf + bsdf via the shared evaluators (keeps sample/eval consistent)
-    pdf = eval_pdf(mat, ns, wo, wi, used=used)
-    f = eval_bsdf(mat, ns, wo, wi, used=used)
+    # pdf + bsdf via the shared FUSED evaluator (keeps sample/eval
+    # consistent; one family sweep instead of two)
+    f, pdf = eval_bsdf_pdf(mat, ns, wo, wi, used=used)
 
     # singular overrides: pdf 1, f = weight / |cos|
     cos_wi = jnp.abs(vm.dot(n, wi, keepdims=False))

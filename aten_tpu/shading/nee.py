@@ -49,8 +49,9 @@ def nee_contribution(scene, mat, p, ns, wo, state, occluded_fn, used=None):
 
     wi = ls["dir"]
     cos_s = vm.dot(brdf_mod.orient_normal(ns, wo), wi, keepdims=False)
-    f = brdf_mod.eval_bsdf(mat, ns, wo, wi, used=used)
-    pdf_b = brdf_mod.eval_pdf(mat, ns, wo, wi, used=used)
+    from aten_tpu.shading import dispatch as disp_mod
+
+    f, pdf_b = disp_mod.eval_bsdf_pdf(scene, mat, ns, wo, wi, used=used)
 
     cos_l = vm.dot(ls["nml"], -wi, keepdims=False)
 

@@ -67,3 +67,48 @@ def test_load_skinned_bind_pose_consistent():
     pal = np.einsum("jab,jbc->jac", g, inv_bind)
     used = np.unique(dm.joints[dm.weights > 1e-3])
     assert np.abs(pal[used] - np.eye(4)).max() < 1e-3
+
+
+def test_fbx_animation_curve_clip():
+    """FBX take ingestion (FbxConverter/AnmExporter.cpp role): the
+    motion file's AnimationStack/CurveNode/Curve chain becomes an
+    AnimationClip aligned to the MODEL file's joint order by name, and
+    driving FK -> LBS with it deforms the unitychan mesh."""
+    import jax.numpy as jnp
+
+    from aten_tpu.anim.skeleton import global_matrices
+    from aten_tpu.anim.skinning import skin_vertices
+    from aten_tpu.io.fbx import fbx_joint_names, load_fbx_clip, \
+        load_fbx_skinned
+    from aten_tpu.scene.scene import SceneBuilder
+
+    motion = os.path.join(os.path.dirname(UNITYCHAN),
+                          "unitychan_WAIT00.fbx")
+    b = SceneBuilder()
+    dm, skel, _, inv_bind = load_fbx_skinned(b, UNITYCHAN)
+    names = fbx_joint_names(UNITYCHAN)
+    assert len(names) == skel.num_joints
+    clip = load_fbx_clip(motion, joint_names=names)
+    assert clip.times.shape[0] == skel.num_joints
+    assert clip.duration > 1.0  # a real take, not a single pose
+    # quaternion tracks stay unit-length through resampling
+    assert np.abs(np.linalg.norm(clip.rot, axis=-1) - 1).max() < 1e-3
+
+    def posed(t):
+        tr, q, sc = clip.sample(t)
+        g = global_matrices(skel, tr, q, sc)
+        pal = jnp.einsum("jab,jbc->jac", g, jnp.asarray(inv_bind))
+        p, _ = skin_vertices(pal, jnp.asarray(dm.bind_pos),
+                             jnp.asarray(dm.bind_nml),
+                             jnp.asarray(dm.weights), jnp.asarray(dm.joints))
+        return np.asarray(p)
+
+    p0 = posed(0.0)
+    p1 = posed(0.6 * clip.duration)
+    assert np.isfinite(p0).all() and np.isfinite(p1).all()
+    # the take animates the character: vertices actually move, but stay
+    # within a sane bound of the bind pose (no exploding transforms)
+    disp = np.linalg.norm(p1 - p0, axis=1)
+    assert disp.max() > 1e-3
+    ext = np.linalg.norm(dm.bind_pos.max(axis=0) - dm.bind_pos.min(axis=0))
+    assert disp.max() < 5.0 * ext

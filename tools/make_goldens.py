@@ -61,11 +61,25 @@ def configs():
         scene, cam = scenedefs.hetero_volume_scene(32, 32, res=24)
         return render_volpt(scene, cam, spp=4, max_depth=6)
 
+    def restir_gi():
+        from aten_tpu.integrator import restir
+
+        scene, cam = scenedefs.many_light_scene(64, 64, num_lights=32)
+        st = restir.init_state(64, 64)
+        img = None
+        for f in range(2):
+            img, st = restir.restir_gi_sample(
+                scene, cam.arrays(), 64, 64, jnp.uint32(f), st,
+                max_depth=3, rr_depth=2,
+            )
+        return img
+
     return [
         ("cornell", cornell),
         ("mtrl_zoo", zoo),
         ("sponza", sponza),
         ("restir_lights", restir_lights),
+        ("restir_gi", restir_gi),
         ("volume", volume),
     ]
 
