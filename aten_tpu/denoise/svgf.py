@@ -90,17 +90,35 @@ def _project(pos, w2v, v2c, width, height):
 
 
 def _gather_prev(state, iy, ix):
-    iy = jnp.clip(iy, 0, state["color"].shape[0] - 1)
-    ix = jnp.clip(ix, 0, state["color"].shape[1] - 1)
-    return {
-        "color": state["color"][iy, ix],
-        "moments": state["moments"][iy, ix],
-        "normal": state["normal"][iy, ix],
-        "depth": state["depth"][iy, ix],
-        "mtl": state["mtl"][iy, ix],
-        "history": state["history"][iy, ix],
-        "valid": state["valid"][iy, ix],
-    }
+    """History fetch at reprojected pixels as ONE flat wide take.
+
+    Seven `img[iy, ix]` fetches would be seven multi-dim XLA gathers;
+    scattered gathers on v5e are index-count-bound and 2D forms cost
+    2-3x the flat ones (PERF_NOTES_R5 gather rules), so the history
+    buffers are packed to [H*W, 12] and fetched with a single take."""
+    H, W = state["color"].shape[0], state["color"].shape[1]
+    iy = jnp.clip(iy, 0, H - 1)
+    ix = jnp.clip(ix, 0, W - 1)
+    idx = (iy * W + ix).reshape(-1)
+    cols, spans, pos = [], [], 0
+    for k in ("color", "moments", "normal", "depth", "mtl", "history",
+              "valid"):
+        v = state[k]
+        c = 1 if v.ndim == 2 else v.shape[2]
+        cols.append(v.reshape(H * W, c).astype(jnp.float32))
+        spans.append((k, pos, c, v.ndim == 2, v.dtype))
+        pos += c
+    rows = jnp.take(jnp.concatenate(cols, axis=1), idx, axis=0)
+    out = {}
+    for k, p, c, scalar, dt in spans:
+        f = rows[:, p] if scalar else rows[:, p:p + c]
+        f = f.reshape(iy.shape + (() if scalar else (c,)))
+        if dt == jnp.bool_:
+            f = f > 0.5
+        elif jnp.issubdtype(dt, jnp.integer):
+            f = jnp.round(f).astype(dt)
+        out[k] = f
+    return out
 
 
 def object_motion_pos(pos, inst, cur_w2l, prev_l2w):

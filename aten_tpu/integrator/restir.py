@@ -93,9 +93,8 @@ def _light_sample_to_y(scene, ls, lidx):
         KIND_SINGULAR,
         jnp.where(ls["infinite"], KIND_INFINITE, KIND_AREA),
     )
-    lights = scene["lights"]
-    li = jnp.clip(lidx, 0, lights["type"].shape[0] - 1)
-    le_raw = jnp.take(lights["le"], li, axis=0)
+    # (a per-candidate re-gather of the raw light row's le used to sit
+    # here, unused — ls already carries everything needed)
     # area lights & IBL: le as sampled; singular: raw intensity (distance
     # re-applied at eval); spot falloff folded in (see module docstring).
     dist2 = jnp.maximum(ls["dist"] * ls["dist"], 1e-8)[..., None]
@@ -108,6 +107,35 @@ def _light_sample_to_y(scene, ls, lidx):
         "l_le": le_store,
         "kind": kind,
     }, ls
+
+
+def _pack_cols(fields):
+    """Concat a dict of [N] / [N,C] arrays into one [N, D] f32 matrix.
+
+    Scattered-index gathers on v5e are index-count-bound (~3.5 ms per
+    262k indices regardless of row width, PERF_NOTES_R5): reading 13
+    reservoir/G-buffer fields at reprojected pixels as 13 takes cost
+    ~45 ms/frame; as ONE wide take it costs one.  int/bool fields ride
+    as f32 (ids are small integers — exact)."""
+    cols, spans, pos = [], [], 0
+    for k, v in fields.items():
+        c = 1 if v.ndim == 1 else v.shape[1]
+        cols.append((v if v.ndim == 2 else v[:, None]).astype(jnp.float32))
+        spans.append((k, pos, c, v.ndim == 1, v.dtype))
+        pos += c
+    return jnp.concatenate(cols, axis=1), spans
+
+
+def _unpack_cols(rows, spans):
+    out = {}
+    for k, p, c, scalar, dt in spans:
+        f = rows[:, p] if scalar else rows[:, p:p + c]
+        if dt == jnp.bool_:
+            f = f > 0.5
+        elif jnp.issubdtype(dt, jnp.integer):
+            f = jnp.round(f).astype(dt)
+        out[k] = f
+    return out
 
 
 def _reservoir_update(r, y, w, u):
@@ -252,12 +280,19 @@ def _direct_core(scene, cam_arrays, width, height, state, st,
     # motion-reprojected history + the reference's acceptance tests
     # (IsAcceptableNeighbor: material type, mesh id, normal >= 0.95)
     ridx, in_range = _reproject_prev_pixel(state["cam"], h["p"], width, height)
-    prev = {k: jnp.take(v, ridx, axis=0) for k, v in state["reservoir"].items()}
-    prev_norm = jnp.take(state["normal"], ridx, axis=0)
-    prev_depth = jnp.take(state["depth"], ridx)
-    prev_valid = jnp.take(state["valid"], ridx)
-    prev_mtl_t = jnp.take(state["mtl"], ridx)
-    prev_mesh = jnp.take(state["mesh"], ridx)
+    # one wide take instead of 13 narrow ones (see _pack_cols)
+    hist, hspans = _pack_cols({
+        **{"r_" + k: v for k, v in state["reservoir"].items()},
+        "normal": state["normal"], "depth": state["depth"],
+        "valid": state["valid"], "mtl": state["mtl"], "mesh": state["mesh"],
+    })
+    hrows = _unpack_cols(jnp.take(hist, ridx, axis=0), hspans)
+    prev = {k[2:]: v for k, v in hrows.items() if k.startswith("r_")}
+    prev_norm = hrows["normal"]
+    prev_depth = hrows["depth"]
+    prev_valid = hrows["valid"]
+    prev_mtl_t = hrows["mtl"]
+    prev_mesh = hrows["mesh"]
     ndot = jnp.sum(h["ns"] * prev_norm, axis=-1)
     depth_ok = jnp.abs(prev_depth - hit["t"]) < 0.1 * jnp.maximum(hit["t"], 1e-3)
     accept = (
@@ -292,9 +327,14 @@ def _direct_core(scene, cam_arrays, width, height, state, st,
         jx = jnp.clip(ix + dx, 0, width - 1)
         jy = jnp.clip(iy + dy, 0, height - 1)
         j = (jy * width + jx).astype(jnp.int32)
-        rj = {k2: jnp.take(r[k2], j, axis=0) for k2 in r}
-        nj = jnp.take(h["ns"], j, axis=0)
-        tj = jnp.take(hit["t"], j)
+        # one wide take of (reservoir, ns, t) instead of 10 (see _pack_cols)
+        spk, sspans = _pack_cols({
+            **{"r_" + k2: r[k2] for k2 in r}, "ns": h["ns"], "t": hit["t"],
+        })
+        srows = _unpack_cols(jnp.take(spk, j, axis=0), sspans)
+        rj = {k2[2:]: v for k2, v in srows.items() if k2.startswith("r_")}
+        nj = srows["ns"]
+        tj = srows["t"]
         geo_ok = (jnp.sum(h["ns"] * nj, axis=-1) > 0.9) & (
             jnp.abs(tj - hit["t"]) < 0.1 * jnp.maximum(hit["t"], 1e-3)
         )

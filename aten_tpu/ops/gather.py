@@ -57,10 +57,6 @@ def take_fields(field_dict, idx, *, int_fields=(), max_rows=MXU_GATHER_MAX_ROWS)
     jnp.take above max_rows.
     """
     K = next(iter(field_dict.values())).shape[0]
-    if K > max_rows:
-        return {
-            k: jnp.take(v, idx, axis=0) for k, v in field_dict.items()
-        }
     cols = []
     spans = {}
     pos = 0
@@ -70,6 +66,10 @@ def take_fields(field_dict, idx, *, int_fields=(), max_rows=MXU_GATHER_MAX_ROWS)
         spans[k] = (pos, c, v.ndim == 1)
         pos += c
     packed = jnp.concatenate(cols, axis=1)
+    # Above the MXU threshold take_rows falls back to ONE jnp.take of the
+    # packed table: gather cost is index-count-bound (~5 ms/1M indices on
+    # v5e regardless of 1..40 f32 row width, PERF_NOTES_R5), so one
+    # D-wide take beats len(field_dict) narrow ones.
     rows = take_rows(packed, idx, max_rows=max_rows)
     out = {}
     for k, (p, c, scalar) in spans.items():

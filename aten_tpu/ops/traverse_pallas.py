@@ -322,12 +322,16 @@ def _traverse_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
 #     it behind its own slab math.
 # ---------------------------------------------------------------------------
 
-TREELET_MAX = 64
-
 # Kernel-variant knobs, snapshotted ONCE at import: they are baked into
 # traced programs (padding quantum + kernel choice), so late env mutation
 # would silently desync the two (advisor r3 finding).
 import os as _os
+
+# fat-leaf capacity = the kernel's fixed drain window.  Bigger leaves
+# shrink the top tree (fewer serial ~330 ns walk steps — the dominant
+# cost for direction-incoherent bounce tiles whose vote union nears the
+# whole tree) at the price of more statically-unrolled drain slots.
+TREELET_MAX = int(_os.environ.get("ATEN_TRL_WINDOW", "64"))
 
 _ENV_KERNEL = _os.environ.get("ATEN_TPU_KERNEL", "v3")
 _ENV_CHAINS = int(_os.environ.get("ATEN_TPU_CHAINS", "4"))
@@ -338,6 +342,14 @@ _ENV_TILE_ROWS = int(_os.environ.get("ATEN_TPU_TILE_ROWS", "16"))
 # tree, so wide tiles shrink the tile count at zero union cost (32
 # measured vs 8 on cornell/zoo wavefronts, round 5)
 _ENV_DENSE_ROWS = int(_os.environ.get("ATEN_TPU_DENSE_ROWS", "32"))
+# resident-pool VMEM budget (MB): node+prim pools at or under this stay
+# VMEM-resident (no leaf DMA).  v5e VMEM holds ~30 MB of pool next to
+# the tile buffers once the Mosaic scoped-vmem cap is raised (see the
+# CompilerParams below); crytek-class (29.4 MB pools) measured 0.22
+# resident vs 0.15 plk-streamed Mrays/s full-PT (bounce waves visit
+# most leaves, so streaming re-DMAs the pool once per tile) and its
+# wide-tile compile drops from >20 min (streamed MT) to ~3 min.
+_ENV_RESIDENT_MB = float(_os.environ.get("ATEN_TPU_RESIDENT_MB", "32"))
 PACK = 8          # prims per 128-lane row (16 lanes each)
 TRL_ROWS = TREELET_MAX // PACK  # rows per fixed-size leaf DMA
 CHUNK = 64  # prim rows per DMA piece (32 KB) — legacy tt_ kernel only
@@ -696,7 +708,7 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
 # Match: hitTest leaf loop
 # (/root/reference/src/libidaten/kernel/pt_standard_impl.cu:57-229).
 
-PLK_EW = 256  # E block lane width = 4P, exactly 2 lane-tiles
+PLK_EW = 4 * TREELET_MAX  # E block lane width = 4P (2 lane-tiles at P=64)
 
 
 def _build_plucker_emat(order, tri_v0, tri_e1, tri_e2, start, count, fat,
@@ -850,6 +862,12 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
             prim = jnp.where(closer, pid, prim)
             return t, prim
 
+        # (A per-8-row-group drain with lax.cond skip for non-voting
+        # groups was built and measured here in round 5: dragon primary
+        # 59.3 -> 48.6 Mrays/s, sponza svgf 550 -> 606 ms.  The per-group
+        # cond overhead + (8,128) op splitting loses more than the skips
+        # save — the same serialization that sank the SMT kernel's
+        # per-chain leaf conds.  Full-tile drains stay.)
         def intersect_pending(pstart, pcount, t, prim):
             """Test a fat leaf's prims (waiting on its DMA if streamed).
 
@@ -1003,6 +1021,14 @@ def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
         ]
         nout = 4
     prim_space = pltpu.VMEM if resident else pltpu.ANY
+    # Mosaic's default scoped-VMEM cap is 16 MB; crytek-class resident
+    # pools (29.4 MB nodes+prims) need the cap raised to what the pools
+    # + tile buffers actually use (v5e VMEM is far larger).
+    pool_bytes = int(nodes.size + prims.size) * 4
+    params = None
+    if resident and pool_bytes > 12 * 1024 * 1024:
+        params = pltpu.CompilerParams(
+            vmem_limit_bytes=pool_bytes + 16 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid=(g,),
@@ -1016,6 +1042,7 @@ def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
             pltpu.VMEM((TRL_ROWS, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
+        **({"compiler_params": params} if params is not None else {}),
     )(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0)
 
 
@@ -2011,7 +2038,8 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
     if "trl_nodes" in scene:
         pool_mb = (scene["trl_nodes"].size + scene["trl_prims"].size) * 4e-6
         use_plk = "trl_emat" in scene and (
-            kern == "plk" or (pool_mb > 10.0 and kern not in ("smt", "mt")))
+            kern == "plk"
+            or (pool_mb > _ENV_RESIDENT_MB and kern not in ("smt", "mt")))
     else:
         use_plk = False
     if "pl_nodes" in scene:
@@ -2022,7 +2050,8 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
         quantum = _ENV_TILE_ROWS * LANES
     else:
         # wide tiles only for RESIDENT pools (streamed MT compile blowup)
-        quantum = (_ENV_TILE_ROWS if pool_mb <= 10.0 else ROWS) * LANES
+        quantum = (_ENV_TILE_ROWS if pool_mb <= _ENV_RESIDENT_MB
+                   else ROWS) * LANES
     Np = -(-N // quantum) * quantum
     padn = Np - N
 
@@ -2080,7 +2109,7 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
         kw = dict(
             any_hit=any_hit, t_min=t_min,
             has_spheres=scene["num_spheres"] > 0,
-            resident=pool_mb <= 10.0,
+            resident=pool_mb <= _ENV_RESIDENT_MB,
             has_lod=bool(scene.get("trl_has_lod")),
         )
         if kern == "smt":

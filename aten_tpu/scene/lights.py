@@ -109,17 +109,20 @@ def _sample_area_light(scene, lrow, p, u1, uv):
     then a uniform barycentric point (sqrt warp); sphere emitters pick a
     uniform point on the sphere.
     """
+    from aten_tpu.ops.gather import take_fields, take_rows
+
     lights = scene["lights"]
     # --- triangle-range branch
     li = lrow["_index"]
-    cdf_rows = jnp.take(lights["tri_cdf"], li, axis=0)  # [N, MT]
+    cdf_rows = take_rows(lights["tri_cdf"], li)  # [N, MT]
     k = jnp.sum((u1[..., None] > cdf_rows).astype(jnp.int32), axis=-1)
     k = jnp.clip(k, 0, jnp.maximum(lrow["tri_count"] - 1, 0))
     tidx = lrow["tri_start"] + k
     tidx_c = jnp.clip(tidx, 0, scene["tri_v0"].shape[0] - 1)
-    v0 = jnp.take(scene["tri_v0"], tidx_c, axis=0)
-    e1 = jnp.take(scene["tri_e1"], tidx_c, axis=0)
-    e2 = jnp.take(scene["tri_e2"], tidx_c, axis=0)
+    tg = take_fields(
+        {"v0": scene["tri_v0"], "e1": scene["tri_e1"],
+         "e2": scene["tri_e2"]}, tidx_c)
+    v0, e1, e2 = tg["v0"], tg["e1"], tg["e2"]
     su = jnp.sqrt(jnp.clip(uv[0], 1e-8, 1.0))
     b1 = (1.0 - su)[..., None]
     b2 = (uv[1] * su)[..., None]
@@ -127,8 +130,10 @@ def _sample_area_light(scene, lrow, p, u1, uv):
     tri_nml = vm.normalize(vm.cross(e1, e2))
     # --- sphere branch
     sid = jnp.clip(lrow["sphere_id"], 0, scene["sph_center"].shape[0] - 1)
-    c = jnp.take(scene["sph_center"], sid, axis=0)
-    r = jnp.take(scene["sph_radius"], sid, axis=0)[..., None]
+    sg = take_fields(
+        {"c": scene["sph_center"], "r": scene["sph_radius"]}, sid)
+    c = sg["c"]
+    r = sg["r"][..., None]
     z = 1.0 - 2.0 * uv[0]
     s = jnp.sqrt(jnp.clip(1.0 - z * z, 0.0, 1.0))
     phi = 2.0 * np.pi * uv[1]

@@ -71,7 +71,15 @@ def num_mip_levels(scene):
 
 
 def _bilinear(stack, tid, h, w, u, v):
-    """Bilinear wrap-addressed fetch from one stacked level."""
+    """Bilinear wrap-addressed fetch from one stacked level.
+
+    The 4 taps are flat 1D row-takes on a [T*MH*MW, 4] view, not
+    `stack[tid, yi, xi]`: multi-axis advanced indexing lowers to a
+    multi-dim XLA gather that measured ~2-3x the flat-take cost at
+    wavefront width (PERF_NOTES_R5 gather rules)."""
+    MH, MW, C = stack.shape[1], stack.shape[2], stack.shape[3]
+    flat = stack.reshape(stack.shape[0] * MH * MW, C)
+    base = tid * (MH * MW)
     uu = jnp.mod(u, 1.0)
     vv = jnp.mod(1.0 - jnp.mod(v, 1.0), 1.0)
     x = uu * w - 0.5
@@ -84,7 +92,7 @@ def _bilinear(stack, tid, h, w, u, v):
     def fetch(xi, yi):
         xi = jnp.mod(xi, jnp.maximum(w, 1.0)).astype(jnp.int32)
         yi = jnp.mod(yi, jnp.maximum(h, 1.0)).astype(jnp.int32)
-        return stack[tid, yi, xi]
+        return jnp.take(flat, base + yi * MW + xi, axis=0)
 
     return (
         fetch(x0, y0) * (1 - fx) * (1 - fy)

@@ -71,8 +71,10 @@ def traversal_path(scene):
     if "pl_nodes" in scene:
         return "pl"
     if "trl_nodes" in scene:
+        from aten_tpu.ops.traverse_pallas import _ENV_RESIDENT_MB
         pool_mb = (scene["trl_nodes"].size + scene["trl_prims"].size) * 4e-6
-        return "trl/resident" if pool_mb <= 10.0 else "trl/streamed"
+        return ("trl/resident" if pool_mb <= _ENV_RESIDENT_MB
+                else "trl/streamed")
     return "jax"
 
 
@@ -97,22 +99,27 @@ def emit(metric, value, unit, rays_per_frame=None, note=None):
     return rec
 
 
-def time_chain(build_frame, n=4, reps=2):
-    """build_frame(i, dep) -> device scalar; dep = previous frame's scalar
-    (forces sequential execution).  Returns honest seconds per frame."""
+def time_chain(build_frame, n=4, reps=2, args=()):
+    """build_frame(i, dep, *args) -> device scalar; dep = previous frame's
+    scalar (forces sequential execution).  Returns honest seconds per frame.
+
+    Pass scene pools through `args`, NOT via closure: closed-over arrays
+    embed as HLO literals and a cache-miss compile of a crytek-scale
+    scene (~80 MB of pools) exceeds the remote-compile tunnel's request
+    body limit (HTTP 413)."""
 
     @jax.jit
-    def chained():
+    def chained(*a):
         acc = jnp.float32(0)
         for i in range(n):
-            acc = acc + build_frame(i, acc)
+            acc = acc + build_frame(i, acc, *a)
         return acc
 
-    _ = float(chained())  # compile + warm
+    _ = float(chained(*args))  # compile + warm
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
-        _ = float(chained())
+        _ = float(chained(*args))
         best = min(best, time.perf_counter() - t0)
     return best / n
 
@@ -122,18 +129,20 @@ def dep_u32(base, dep):
     return jnp.uint32(base) + (dep * 0.0).astype(jnp.uint32)
 
 
-def time_seq(frame_scalar, n=3, reps=2):
-    """Sequential per-frame timing: frame_scalar(i) -> device scalar,
-    pulled to host each frame (forces completion; the pull is a tiny
-    RPC vs the 100ms+ renderer frames).  Used where chaining frames in
-    one jit makes the program big enough to crash the remote compiler
-    (26M-lane path state, triple-nested volume loops)."""
-    _ = float(frame_scalar(0))  # compile + warm
+def time_seq(frame_scalar, n=3, reps=2, args=()):
+    """Sequential per-frame timing: frame_scalar(i, *args) -> device
+    scalar, pulled to host each frame (forces completion; the pull is a
+    tiny RPC vs the 100ms+ renderer frames).  Used where chaining frames
+    in one jit makes the program big enough to crash the remote compiler
+    (26M-lane path state, triple-nested volume loops).  Scene pools ride
+    in `args` so they stay device buffers, not HLO constants (see
+    time_chain)."""
+    _ = float(frame_scalar(0, *args))  # compile + warm
     best = 1e9
     for _ in range(reps):
         t0 = time.perf_counter()
         for i in range(n):
-            _ = float(frame_scalar(i))
+            _ = float(frame_scalar(i, *args))
         best = min(best, time.perf_counter() - t0)
     return best / n
 
@@ -163,11 +172,11 @@ def bench_traversal(results):
         ro, rd = ro[perm], rd[perm]
         N = ro.shape[0]
 
-        def frame(i, dep, _s=scene, _ro=ro, _rd=rd):
+        def frame(i, dep, _s, _ro, _rd):
             h = traverse(_s, _ro + 0 * dep, _rd)
             return h["t"][0]
 
-        sec = time_chain(frame, n=6)
+        sec = time_chain(frame, n=6, args=(scene, ro, rd))
         results.append(emit(
             f"trav_{name}_primary", N / sec / 1e6, "Mrays/s",
             note=f"closest-hit 1024x1024 primary, path={traversal_path(scene)}"))
@@ -184,12 +193,12 @@ def bench_pt(results):
     spp = 50
 
     @jax.jit
-    def frame_scalar(i):
-        img = render_sample(scene, ca, W, H, jnp.uint32(1),
+    def frame_scalar(i, sc, c):
+        img = render_sample(sc, c, W, H, jnp.uint32(1),
                             jnp.uint32(i) * spp, 100, 5, 3, spp_chunk=spp)
         return img.reshape(-1)[0]
 
-    sec = time_seq(frame_scalar, n=2)
+    sec = time_seq(frame_scalar, n=2, args=(scene, ca))
     rays = W * H * spp
     results.append(emit("cornell_100spp_mrays", rays / sec / 1e6, "Mrays/s",
                         note=f"512x512x100spp NEE depth5, {sec*1e3:.0f} ms/frame, "
@@ -209,12 +218,12 @@ def bench_pt(results):
     ca = cam.arrays()
 
     @jax.jit
-    def frame_scalar(i):
-        img = render_sample(scene, ca, W, H, jnp.uint32(1), jnp.uint32(0),
+    def frame_scalar(i, sc, c):
+        img = render_sample(sc, c, W, H, jnp.uint32(1), jnp.uint32(0),
                             32, 5, 3, spp_chunk=32)
         return img.reshape(-1)[0]
 
-    sec = time_seq(frame_scalar, n=2)
+    sec = time_seq(frame_scalar, n=2, args=(scene, ca))
     rays = W * H * 32
     results.append(emit("mtrl_zoo_ibl_mrays", rays / sec / 1e6, "Mrays/s",
                         note=f"512x512x32spp 11-material zoo + IBL, "
@@ -230,12 +239,12 @@ def bench_crytek_class(results):
     ca = cam.arrays()
 
     @jax.jit
-    def frame_scalar(i):
-        img = render_sample(scene, ca, W, H, jnp.uint32(1), jnp.uint32(0),
+    def frame_scalar(i, sc, c):
+        img = render_sample(sc, c, W, H, jnp.uint32(1), jnp.uint32(0),
                             4, 5, 3, spp_chunk=4)
         return img.reshape(-1)[0]
 
-    sec = time_seq(frame_scalar, n=2)
+    sec = time_seq(frame_scalar, n=2, args=(scene, ca))
     rays = W * H * 4
     results.append(emit(
         "crytek_class_mrays", rays / sec / 1e6, "Mrays/s",
@@ -259,18 +268,18 @@ def bench_sponza_svgf(results):
     state0 = dict(state0, w2v=w2v, v2c=v2c)
 
     @jax.jit
-    def frame(i, state):
+    def frame(i, state, sc, c):
         img, aovs = render_sample_with_aovs(
-            scene, ca, W, H, jnp.uint32(1), jnp.uint32(i), 1, 5, 3)
+            sc, c, W, H, jnp.uint32(1), jnp.uint32(i), 1, 5, 3)
         out, state = svgf._svgf_step_jit(
             img, aovs, state, params=params, width=W, height=H)
         state = dict(state, w2v=w2v, v2c=v2c)
         return out.reshape(-1)[0], state
 
-    def frame_scalar(i):
-        return frame(jnp.uint32(i), state0)[0]
+    def frame_scalar(i, sc, c):
+        return frame(jnp.uint32(i), state0, sc, c)[0]
 
-    sec = time_seq(frame_scalar, n=3)
+    sec = time_seq(frame_scalar, n=3, args=(scene, ca))
     results.append(emit("sponza_svgf_1spp_ms", sec * 1e3, "ms/frame",
                         note=f"512x512 1spp depth5 + SVGF denoise "
                              f"({W*H/sec/1e6:.1f} Mrays/s primary), "
@@ -287,15 +296,15 @@ def bench_restir(results):
     state0 = restir.init_state(H, W)
 
     @jax.jit
-    def frame(i, state):
+    def frame(i, state, sc, c):
         img, state = restir.restir_direct_sample(
-            scene, ca, W, H, jnp.uint32(1) + i, state)
+            sc, c, W, H, jnp.uint32(1) + i, state)
         return img.reshape(-1)[0], state
 
-    def frame_scalar(i):
-        return frame(jnp.uint32(i), state0)[0]
+    def frame_scalar(i, sc, c):
+        return frame(jnp.uint32(i), state0, sc, c)[0]
 
-    sec = time_seq(frame_scalar, n=3)
+    sec = time_seq(frame_scalar, n=3, args=(scene, ca))
     results.append(emit("restir_126lights_ms", sec * 1e3, "ms/frame",
                         note=f"512x512 ReSTIR direct, 126 point lights "
                              f"({W*H/sec/1e6:.1f} Mrays/s primary), "
@@ -304,16 +313,16 @@ def bench_restir(results):
     # full ReSTIR GI (reservoir direct + PT bounces, the reference
     # renderer's output semantics — 1spp/5bounces gallery config)
     @jax.jit
-    def frame_gi(i, state):
+    def frame_gi(i, state, sc, c):
         img, state = restir.restir_gi_sample(
-            scene, ca, W, H, jnp.uint32(1) + i, state, max_depth=5,
+            sc, c, W, H, jnp.uint32(1) + i, state, max_depth=5,
             rr_depth=3)
         return img.reshape(-1)[0], state
 
-    def frame_scalar_gi(i):
-        return frame_gi(jnp.uint32(i), state0)[0]
+    def frame_scalar_gi(i, sc, c):
+        return frame_gi(jnp.uint32(i), state0, sc, c)[0]
 
-    sec = time_seq(frame_scalar_gi, n=3)
+    sec = time_seq(frame_scalar_gi, n=3, args=(scene, ca))
     results.append(emit("restir_gi_126lights_ms", sec * 1e3, "ms/frame",
                         note=f"512x512 ReSTIR GI 1spp depth5, 126 lights "
                              f"({W*H/sec/1e6:.1f} Mrays/s primary), "
@@ -329,12 +338,12 @@ def bench_volume(results):
     ca = cam.arrays()
 
     @jax.jit
-    def frame_scalar(i):
-        img = render_volpt_sample(scene, ca, W, H, jnp.uint32(1),
+    def frame_scalar(i, sc, c):
+        img = render_volpt_sample(sc, c, W, H, jnp.uint32(1),
                                   jnp.uint32(i), 4, 8, 4)
         return img.reshape(-1)[0]
 
-    sec = time_seq(frame_scalar, n=3)
+    sec = time_seq(frame_scalar, n=3, args=(scene, ca))
     results.append(emit("hetero_volume_ms", sec * 1e3, "ms/frame",
                         note="256x256x4spp delta-tracked heterogeneous medium"))
 
@@ -350,11 +359,11 @@ def bench_fwd_bwd(results):
     step = make_train_step(W, H, spp=4, max_depth=3, rr_depth=2, mesh=mesh)
     target = jnp.zeros((H, W, 3), jnp.float32)
 
-    def frame_scalar(i):
-        loss, _ = step(scene, ca, target, jnp.uint32(i))
+    def frame_scalar(i, sc, c):
+        loss, _ = step(sc, c, target, jnp.uint32(i))
         return loss
 
-    sec = time_seq(frame_scalar, n=2)
+    sec = time_seq(frame_scalar, n=2, args=(scene, ca))
     rays = W * H * 4
     results.append(emit("cornell_fwd_bwd_mrays", rays / sec / 1e6, "Mrays/s",
                         note=f"256x256x4spp value_and_grad train step "
