@@ -434,16 +434,29 @@ def traverse_sorted(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4,
         ).astype(jnp.uint32)
     key = (dead << 31) | (octant << 28) | (morton >> 2)
     perm = jnp.argsort(key)
-    t_max_p = None
+    # Permute in/out through ONE packed wide gather each way: separate
+    # ro/rd/t_max (and t/u/v/prim/hit back) gathers cost ~2.2-2.6 ms
+    # apiece per bounce at 262k lanes while row width is free
+    # (xplane-traced gather rules, PERF_NOTES_R5).  prim rides as f32
+    # (ids < 2^24, exact); hit as 0/1.
+    cols_in = [ro, rd]
     if t_max is not None:
         t_max_b = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (ro.shape[0],))
-        t_max_p = t_max_b[perm]
-    res = traverse(scene, ro[perm], rd[perm], t_max=t_max_p,
+        cols_in.append(t_max_b[:, None])
+    pin = jnp.take(jnp.concatenate(cols_in, axis=1), perm, axis=0)
+    t_max_p = pin[:, 6] if t_max is not None else None
+    res = traverse(scene, pin[:, 0:3], pin[:, 3:6], t_max=t_max_p,
                    any_hit=any_hit, t_min=t_min, impl=impl)
     # inverse permutation by scatter — O(N), not a second O(N log N) sort
     inv = jnp.zeros_like(perm).at[perm].set(
         jnp.arange(perm.shape[0], dtype=perm.dtype))
-    return {k: v[inv] for k, v in res.items()}
+    pout = jnp.stack(
+        [res["t"], res["u"], res["v"], res["prim"].astype(jnp.float32),
+         res["hit"].astype(jnp.float32)], axis=1)
+    po = jnp.take(pout, inv, axis=0)
+    prim = jnp.round(po[:, 3]).astype(jnp.int32)
+    return {"t": po[:, 0], "u": po[:, 1], "v": po[:, 2], "prim": prim,
+            "hit": po[:, 4] > 0.5}
 
 
 def occluded(scene, ro, rd, dist, eps=1e-3, impl="auto"):

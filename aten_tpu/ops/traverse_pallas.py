@@ -1569,13 +1569,20 @@ def _recompute_uv(scene, ro, rd, prim):
     (accel/traverse.py leaf loop) so u/v are bitwise-stable between the
     kernel and oracle paths — 1e-5-level differences here butterfly
     whole bounce paths and fail the full-image radiance parity gate."""
+    from aten_tpu.ops.gather import take_fields
+
     num_tris = scene["num_tris"]
     T = scene["tri_v0"].shape[0]
     is_tri = (prim >= 0) & (prim < num_tris)
     tid = jnp.clip(prim, 0, T - 1)
-    v0x, v0y, v0z = (jnp.take(scene["tri_v0"][:, a], tid) for a in range(3))
-    e1x, e1y, e1z = (jnp.take(scene["tri_e1"][:, a], tid) for a in range(3))
-    e2x, e2y, e2z = (jnp.take(scene["tri_e2"][:, a], tid) for a in range(3))
+    # one packed gather for all 9 triangle components: the previous 9
+    # per-component takes cost ~2.2 ms EACH per bounce at 262k lanes
+    # (xplane-traced; gathers are index-count-bound, row width is free)
+    tg = take_fields({"v0": scene["tri_v0"], "e1": scene["tri_e1"],
+                      "e2": scene["tri_e2"]}, tid)
+    v0x, v0y, v0z = tg["v0"][:, 0], tg["v0"][:, 1], tg["v0"][:, 2]
+    e1x, e1y, e1z = tg["e1"][:, 0], tg["e1"][:, 1], tg["e1"][:, 2]
+    e2x, e2y, e2z = tg["e2"][:, 0], tg["e2"][:, 1], tg["e2"][:, 2]
     rox, roy, roz = ro[:, 0], ro[:, 1], ro[:, 2]
     rdx, rdy, rdz = rd[:, 0], rd[:, 1], rd[:, 2]
     px = rdy * e2z - rdz * e2y
@@ -2099,6 +2106,10 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
         prim_f = jnp.where(
             slot_ok, jnp.take(s2p, jnp.clip(raw, 0, ns_ - 1)),
             jnp.where(raw >= ns_, raw - ns_, -1))
+        if any_hit:  # occluded() reads only `hit` — skip UV recompute
+            z = jnp.zeros_like(t0)
+            return {"t": flat(t), "prim": prim_f, "u": z, "v": z,
+                    "hit": prim_f >= 0}
         u, v = _recompute_uv(scene, ro, rd, prim_f)
         return {"t": flat(t), "prim": prim_f, "u": u, "v": v,
                 "hit": prim_f >= 0}
@@ -2125,6 +2136,11 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
         prim_f = flat(prim)
         if any_hit:  # undo the dead-lane seed (_seed_dead)
             prim_f = jnp.where(t0 <= t_min, -1, prim_f)
+            # any-hit consumers (occluded) read only `hit`: skip the
+            # winner-UV packed gather + Möller-Trumbore recompute
+            z = jnp.zeros_like(t0)
+            return {"t": flat(t), "prim": prim_f, "u": z, "v": z,
+                    "hit": prim_f >= 0}
         u, v = _recompute_uv(scene, ro, rd, prim_f)
         return {"t": flat(t), "prim": prim_f, "u": u, "v": v,
                 "hit": prim_f >= 0}
