@@ -448,13 +448,25 @@ def _retro_components(mat, n, wo, wi):
     # uniform-grid lerp: jnp.interp lowers to a vmapped searchsorted
     # WHILE loop (measured 470 ms/bounce at 8.4M lanes on v5e); the ERA
     # table is linspace(0, pi/2), so the bin index is direct arithmetic
-    tab = jnp.asarray(era_tab)
     steps = len(era_tab)
     pos = jnp.clip(theta / jnp.float32(th_tab[1] - th_tab[0]),
                    0.0, jnp.float32(steps - 1) - 1e-6)
     i0 = pos.astype(jnp.int32)
     fr = pos - i0.astype(jnp.float32)
-    E = jnp.take(tab, i0) * (1.0 - fr) + jnp.take(tab, i0 + 1) * fr
+    # both lerp endpoints in ONE one-hot MXU gather of a staged
+    # [steps, 2] (tab[i], tab[i+1]) pair table: two plain takes at
+    # wavefront width cost ~79 ms/bounce EACH on the 8.4M-lane zoo
+    # (xplane r5 leg 2); the one-hot matmul over a 91-row table is ~1 ms
+    from aten_tpu.ops.gather import take_rows
+
+    import numpy as _np
+    pairs = jnp.asarray(_np.stack(
+        [_np.asarray(era_tab, _np.float32),
+         _np.asarray(list(era_tab[1:]) + [era_tab[-1]], _np.float32)],
+        axis=1))
+    shp = i0.shape
+    pr = take_rows(pairs, i0.reshape(-1)).reshape(shp + (2,))
+    E = pr[..., 0] * (1.0 - fr) + pr[..., 1] * fr
 
     # lobe weights (Retroreflective::ComputeWeights)
     F_in = fresnel_schlick(jnp.clip(nv, 0.0, 1.0), f0)
