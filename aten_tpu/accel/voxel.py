@@ -173,6 +173,7 @@ def enable_voxel_lod(scene, lod_depth=VOXEL_DEPTH, voxel_depth=VOXEL_DEPTH):
         np.asarray(scene["sph_radius"]), num_tris,
         voxid=voxid, vox_base=num_tris + num_sph,
     )
+    static["trl_window"] = layout.pop("_window")
     for k, v in layout.items():
         arrays[k] = jnp.asarray(v)
     static["trl_has_lod"] = True

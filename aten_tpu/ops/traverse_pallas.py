@@ -602,26 +602,32 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
     voxid: per-node original indices from bake_lod_tree (voxel leaves);
     their rows get lane 20 = vox_base + voxid and no prim range.
     """
+    order = np.asarray(bvh["prim_order"], np.int64)
     if treelet_max is None:
         import os
 
-        treelet_max = int(os.environ.get("ATEN_TRL_MAX", TREELET_MAX))
-    # The kernel's leaf window (fixed DMA + statically unrolled
-    # intersect_pending) covers exactly TRL_ROWS*PACK prims; a larger
-    # cut would silently drop geometry (advisor r3, medium).
-    assert treelet_max <= TRL_ROWS * PACK, (
-        f"treelet_max={treelet_max} exceeds the kernel leaf window "
-        f"{TRL_ROWS * PACK} (TRL_ROWS*PACK); prims would be dropped")
-    order = np.asarray(bvh["prim_order"], np.int64)
+        treelet_max = int(os.environ.get("ATEN_TRL_MAX", "0"))
+        if treelet_max <= 0:
+            # 64 everywhere: 128-prim fat leaves were measured on both
+            # sponza svgf (548 vs 550 ms — its 344-row top tree was
+            # never walk-bound) and crytek-class full PT (0.294 vs
+            # 0.319 Mrays/s resident — the doubled drain window costs
+            # more than the halved 7600-row walk saves; the kernel is
+            # drained-pair-bound, exact parity held).  The per-scene
+            # window plumbing stays (ATEN_TRL_MAX=any multiple of 8).
+            treelet_max = TREELET_MAX
+    assert treelet_max % PACK == 0, (
+        f"treelet_max={treelet_max} must be a multiple of PACK={PACK}")
+    wrows = treelet_max // PACK  # kernel drain window rows (static)
     protect = None if voxid is None else (np.asarray(voxid) >= 0)
     bmin, bmax, hit, miss, start, count, keep = treelet_cut(
         bvh, treelet_max, protect=protect
     )
     Kt = hit.shape[0]
     if count.size:
-        assert int(count.max()) <= TRL_ROWS * PACK, (
+        assert int(count.max()) <= wrows * PACK, (
             f"treelet cut produced a {int(count.max())}-prim leaf; kernel "
-            f"window is {TRL_ROWS * PACK}")
+            f"window is {wrows * PACK}")
     links = _directional_links((bmin + bmax) * 0.5, hit, miss, start)
 
     vox_cut = np.full(Kt, -1, np.int64)
@@ -642,7 +648,7 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
         idx = nrows * PACK + np.arange(c)
         row_of_prim[s:s + c] = idx
         nrows += -(-c // PACK)
-    n_rows_padded = nrows + TRL_ROWS  # fixed-window overread pad
+    n_rows_padded = nrows + wrows  # fixed-window overread pad
 
     # Plücker/MXU leaf constants (triangle-only scenes): dense E-block
     # index per fat leaf, written to node lane 21 below.
@@ -666,11 +672,13 @@ def build_treelet_layout(bvh, tri_v0, tri_e1, tri_e2, sph_center, sph_radius,
 
     prims = _pack_prims_8(order, tri_v0, tri_e1, tri_e2, sph_center,
                           sph_radius, num_tris, row_of_prim, n_rows_padded)
-    out = {"trl_nodes": nodes, "trl_prims": prims}
+    out = {"trl_nodes": nodes, "trl_prims": prims, "_window": treelet_max}
     # triangle-only scenes get the Plücker E pool (sph arrays may carry
-    # a dummy padding row — check the actual prim ids instead)
+    # a dummy padding row — check the actual prim ids instead).  The
+    # plk kernel's E layout is built for the default 64-prim window
+    # only; wider-window scenes run the MT drain.
     tris_only = not (order >= num_tris).any()
-    if tris_only and fat.shape[0] > 0:
+    if tris_only and fat.shape[0] > 0 and treelet_max == TREELET_MAX:
         emat, slot2prim = _build_plucker_emat(
             order, tri_v0, tri_e1, tri_e2, start, count, fat,
             row_of_prim, n_rows_padded)
@@ -776,7 +784,8 @@ def _select_links(irow, o):
 
 def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
                          resident: bool = False, has_lod: bool = False,
-                         stats: bool = False, tile_rows: int = ROWS):
+                         stats: bool = False, tile_rows: int = ROWS,
+                         wrows: int = TRL_ROWS):
     """resident=True: the packed prim pool lives in VMEM and fat leaves
     read it directly (no DMA at all) — chosen when the scene fits; the
     streamed variant (prims in HBM, pipelined fixed-window copies) is the
@@ -871,16 +880,16 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
         def intersect_pending(pstart, pcount, t, prim):
             """Test a fat leaf's prims (waiting on its DMA if streamed).
 
-            Statically unrolled over the fixed TRL_ROWS window with
+            Statically unrolled over the fixed wrows-row window with
             per-slot masks: a dynamic-trip fori_loop here costs ~100 ns
             of loop overhead PER ROW (launch-amortized lab timing), more
             than the masked extra rows cost."""
             if not resident:
                 pltpu.make_async_copy(
-                    prims_hbm.at[pl.ds(pstart, TRL_ROWS), :], scratch_ref,
+                    prims_hbm.at[pl.ds(pstart, wrows), :], scratch_ref,
                     sem_ref,
                 ).wait()
-            for r in range(TRL_ROWS):
+            for r in range(wrows):
                 if resident:
                     prow = prims_hbm[pl.ds(pstart + r, 1), :]
                 else:
@@ -967,7 +976,7 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
                 @pl.when(enter_block)
                 def _():
                     pltpu.make_async_copy(
-                        prims_hbm.at[pl.ds(start, TRL_ROWS), :],
+                        prims_hbm.at[pl.ds(start, wrows), :],
                         scratch_ref,
                         sem_ref,
                     ).start()
@@ -998,15 +1007,15 @@ def _make_treelet_kernel(any_hit: bool, t_min: float, has_spheres: bool,
 @functools.partial(
     jax.jit,
     static_argnames=("any_hit", "t_min", "has_spheres", "resident", "has_lod",
-                     "stats", "tile_rows"),
+                     "stats", "tile_rows", "wrows"),
 )
 def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
                             any_hit=False, t_min=1e-4, has_spheres=True,
                             resident=False, has_lod=False, stats=False,
-                            tile_rows=ROWS):
+                            tile_rows=ROWS, wrows=TRL_ROWS):
     g = rox.shape[0] // tile_rows
     kernel = _make_treelet_kernel(any_hit, float(t_min), has_spheres, resident,
-                                  has_lod, stats, tile_rows)
+                                  has_lod, stats, tile_rows, wrows)
     ray_spec = pl.BlockSpec((tile_rows, LANES), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = [
@@ -1039,7 +1048,7 @@ def _traverse_treelet_tiles(nodes, prims, rox, roy, roz, rdx, rdy, rdz, t0,
         out_specs=[ray_spec] * nout,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((TRL_ROWS, LANES), jnp.float32),
+            pltpu.VMEM((wrows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         **({"compiler_params": params} if params is not None else {}),
@@ -2117,18 +2126,22 @@ def traverse_pallas(scene, ro, rd, t_max=None, any_hit=False, t_min=1e-4):
         # packed pools that fit VMEM stay resident (no leaf DMA at all);
         # bigger scenes stream fat-leaf windows from HBM
         pool_mb = (scene["trl_nodes"].size + scene["trl_prims"].size) * 4e-6
+        window = int(scene.get("trl_window", TREELET_MAX))
         kw = dict(
             any_hit=any_hit, t_min=t_min,
             has_spheres=scene["num_spheres"] > 0,
             resident=pool_mb <= _ENV_RESIDENT_MB,
             has_lod=bool(scene.get("trl_has_lod")),
         )
-        if kern == "smt":
+        if kern == "smt" and window == TREELET_MAX:
             impl_fn = _traverse_smt_tiles
             kw["chains"] = chains
         else:
+            # (the SMT kernel's drain is hard-wired to the default
+            # window; wider-window scenes always take the MT path)
             impl_fn = _traverse_treelet_tiles
             kw["tile_rows"] = _ENV_TILE_ROWS if kw["resident"] else ROWS
+            kw["wrows"] = window // PACK
         t, prim = impl_fn(
             scene["trl_nodes"], scene["trl_prims"],
             rox, roy, roz, rdx, rdy, rdz, t0p, **kw,

@@ -436,8 +436,11 @@ class SceneBuilder:
                 layout = build_treelet_layout(
                     bvh, tv0, te1, te2, sc, sr, num_tris
                 )
+            trl_window = layout.pop("_window", None)
             for k, v in layout.items():
                 arrays[k] = jnp.asarray(v)
+        else:
+            trl_window = None
         if self._envmap is not None:
             arrays.update(build_env_tables(self._envmap))
         if self.textures.images:
@@ -449,6 +452,10 @@ class SceneBuilder:
             "num_spheres": num_sph,
             "num_lights": len(self.lights.rows),
             "num_instances": num_instances,
+            # treelet-kernel drain window chosen at layout build (per
+            # scene: big scenes take 128-prim fat leaves to halve the
+            # serial top-tree walk; see build_treelet_layout)
+            **({"trl_window": trl_window} if trl_window else {}),
             # any alpha<1 material switches shadow rays to the
             # transmittance walk and enables primary punch-through
             "has_alpha": any(r["alpha"] < 1.0 for r in self.materials.rows),
